@@ -1,0 +1,23 @@
+"""dataxray — a from-scratch Ray-Data-native CDC / incremental-ingest engine.
+
+Re-expresses the capabilities of fenquen/DataX (reader -> transformer chain ->
+writer sync pipelines with speed control, dirty-data budgets, key-ranged
+splitting, upsert writers, shard/checkpoint change-stream replay) as idiomatic
+Ray Data: ``ray.data.Dataset`` pipelines of ``map_batches`` over zero-copy
+Arrow batches, url-hash key-partitioned shuffle into a last-writer-wins merge,
+and an idempotent exactly-once Parquet-lake sink with per-partition manifests
+and monotonic transaction ids.
+
+Layout:
+  dataxray.schema     — Arrow schemas for pages / change events (ref: Record.java, Column.java)
+  dataxray.hashing    — stable vectorized key hashing for partition/salt assignment
+  dataxray.gen        — deterministic synthetic pages + change-log generator (ref: StreamReader.java)
+  dataxray.sources    — WAL-tail reader with txn watermarks + schema unification (ref: otsstreamreader)
+  dataxray.stages     — decode/validate, partition/salt, LWW merge stages
+  dataxray.state      — lake layout, manifests, exactly-once commit, checkpoints (ref: HdfsWriter tmp+rename, StarRocks labels)
+  dataxray.pipelines  — end-to-end replay + report pipelines
+  dataxray.functions  — dx_* transform library, UDF registry, text/dedup/similarity ops
+  dataxray.errors     — dirty-record side channel + error budget (ref: ErrorRecordChecker.java)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,216 @@
+"""End-to-end CDC replay: WAL tail → validate → url-hash shuffle → LWW merge
+→ exactly-once lake commit.
+
+This is the engine's flagship pipeline — the Ray-Data re-expression of a
+DataX reader→transformer→writer job (JobContainer.start, §3.1 of SURVEY.md)
+crossed with otsstreamreader's checkpointed change-stream replay (§3.3):
+
+    read_parquet(event shards, footer-pruned by watermark, unified schema)
+      → map_batches(Validate)           # dirty side-channel + error budget
+      → map_batches(align to evolved schema)
+      → map_batches(AssignPartition)    # _part = hash(url) % P  (+ salt)
+      → map_batches(BatchCombiner)      # pre-shuffle LWW combiner
+      [salted: groupby(_salt).map_groups(lww_reduce)]   # hot-key stage A
+      → groupby(_part).map_groups(merge+stage-write)    # THE shuffle
+      → driver: label-deduped manifest commits (exactly-once)
+
+Everything streams: the only driver-side materialization is one small
+metadata row per touched partition. Untouched partitions are never read or
+rewritten (incremental replay prunes at the file level by the global low
+watermark and per-partition by manifest txn_hi).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..errors import ErrorLimit, check_budget, dirty_count
+from ..schema import META_FIELDS, OP_INSERT, PART_COL, SALT_COL, align_table, unify
+from ..sources import wal
+from ..stages.decode import Validate
+from ..stages.merge import BatchCombiner, lww_reduce, merge_partition
+from ..stages.partition import AssignPartition
+from ..state.checkpoint import RunReport, global_low_watermark
+from ..state.manifest import Lake
+
+
+@dataclass(frozen=True)
+class ReplayConfig:
+    num_partitions: int = 32
+    num_salts: int = 0  # >1 enables the salted two-stage merge
+    batch_size: int | None = 32_768
+    error_limit: ErrorLimit = ErrorLimit()
+    dirty_dir: str | None = None
+
+
+def _pages_as_events(pages_ds, target: pa.Schema):
+    """Bootstrap: lift the base web-page table into the event stream at
+    (txn_id=0, seq=0, op='I') — base state is just the oldest write."""
+
+    def lift(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        batch = batch.append_column("txn_id", pa.nulls(n, pa.int64()).fill_null(0))
+        batch = batch.append_column("seq", pa.nulls(n, pa.int64()).fill_null(0))
+        batch = batch.append_column("op", pa.nulls(n, pa.string()).fill_null(OP_INSERT))
+        return align_table(batch, target)
+
+    return pages_ds.map_batches(lift, batch_format="pyarrow")
+
+
+def replay(
+    events_dir: str | None,
+    lake_dir: str,
+    pages_path: str | None = None,
+    cfg: ReplayConfig = ReplayConfig(),
+) -> RunReport:
+    """Replay all unapplied change events into the lake; resumable/idempotent.
+
+    Can be called repeatedly (epochs, crash-resume, duplicate delivery): the
+    manifests' per-partition txn watermarks make every re-application a no-op.
+    """
+    started = time.perf_counter()
+    run_id = uuid.uuid4().hex[:12]
+    report = RunReport(run_id=run_id)
+    lake = Lake(lake_dir)
+
+    bootstrap = not lake.exists()
+    if not bootstrap:
+        lake.validate_partitioner()
+        if lake.num_partitions() != cfg.num_partitions:
+            raise RuntimeError(
+                f"lake has {lake.num_partitions()} partitions, config asks "
+                f"{cfg.num_partitions}; repartitioning an existing lake is not supported"
+            )
+
+    watermarks = lake.watermarks() if not bootstrap else {}
+    low = global_low_watermark(watermarks, cfg.num_partitions) if not bootstrap else 0
+    if not bootstrap and pages_path is None:
+        # crash-safe bootstrap resume: if a prior run died before every
+        # partition committed, fold the recorded base pages back in
+        pages_path = lake.bootstrap_pages()
+    include_pages = pages_path is not None and (
+        bootstrap or len(watermarks) < cfg.num_partitions
+    )
+
+    # ---- source(s) ----
+    streams = []
+    schemas = []
+    rows_hint = 0
+    if events_dir is not None:
+        ev_ds, ev_schema, n = wal.read_events(events_dir, low_watermark=low)
+        if ev_ds is not None:
+            streams.append(("events", ev_ds))
+            schemas.append(ev_schema)
+            rows_hint += n
+    if include_pages:
+        import pyarrow.parquet as pq
+        import ray.data
+
+        pages_ds = ray.data.read_parquet(pages_path)
+        page_schema = pq.read_schema(pages_path)
+        schemas.append(pa.schema(list(page_schema) + [pa.field(n, t) for n, t in META_FIELDS]))
+        streams.append(("pages", pages_ds))
+        rows_hint += pq.read_metadata(pages_path).num_rows
+
+    if bootstrap:
+        target = unify(schemas) if schemas else None
+        if target is None:
+            raise ValueError("nothing to replay: no events and no pages")
+        lake.init(cfg.num_partitions, target, pages_path=pages_path)
+    else:
+        target = unify([lake.event_schema()] + schemas) if schemas else None
+        if target is None or not streams:
+            return report.finish(started)  # fully caught up
+        if not target.equals(lake.event_schema()):
+            lake.evolve_schema(target)  # additive promotion, safe pre-commit
+
+    # ---- assemble the dataset ----
+    ds = None
+    for kind, s in streams:
+        if kind == "pages":
+            s = _pages_as_events(s, target)
+        else:
+            s = s.map_batches(Validate(cfg.dirty_dir), batch_format="pyarrow",
+                              batch_size=cfg.batch_size)
+            s = s.map_batches(lambda t, tgt=target: align_table(t, tgt),
+                              batch_format="pyarrow", batch_size=cfg.batch_size)
+        ds = s if ds is None else ds.union(s)
+
+    ds = ds.map_batches(
+        AssignPartition(cfg.num_partitions, cfg.num_salts),
+        batch_format="pyarrow", batch_size=cfg.batch_size,
+    )
+    ds = ds.map_batches(BatchCombiner(), batch_format="pyarrow", batch_size=cfg.batch_size)
+
+    if cfg.num_salts > 1:
+        # stage A: per-(part,salt) partial LWW winners (hot-url mitigation)
+        ds = ds.groupby(SALT_COL).map_groups(
+            lambda g: lww_reduce(g), batch_format="pyarrow"
+        )
+        ds = ds.drop_columns([SALT_COL])
+
+    lake_root, wm, tgt = lake.root, dict(watermarks), target
+
+    def merge_and_stage(group: pa.Table) -> pa.Table:
+        """Per-partition final merge; writes new state to staging, emits one
+        metadata row. Runs distributed; only metadata returns to the driver."""
+        p = group[PART_COL][0].as_py()
+        events = group.drop_columns([PART_COL])
+        # -1 = virgin partition: even txn 0 (base-page bootstrap) is unapplied
+        watermark = wm.get(p, -1)
+        events = events.filter(pc.greater(events["txn_id"], watermark))
+        if len(events) == 0:
+            return pa.table(
+                {"partition": pa.array([p], pa.int32()), "txn_hi": pa.array([watermark]),
+                 "staged": pa.array([[]], pa.list_(pa.string())),
+                 "row_count": pa.array([0]), "num_bytes": pa.array([0]),
+                 "noop": pa.array([True])}
+            )
+        part_lake = Lake(lake_root)
+        state = part_lake.read_state(p)
+        merged = merge_partition(events, state, tgt, watermark)
+        txn_hi = max(watermark, pc.max(events["txn_id"]).as_py())
+        meta = part_lake.write_staged(run_id, p, merged)
+        return pa.table(
+            {"partition": pa.array([p], pa.int32()), "txn_hi": pa.array([txn_hi]),
+             "staged": pa.array([meta["staged"]], pa.list_(pa.string())),
+             "row_count": pa.array([meta["row_count"]]),
+             "num_bytes": pa.array([meta["num_bytes"]]),
+             "noop": pa.array([False])}
+        )
+
+    meta_rows = ds.groupby(PART_COL).map_groups(
+        merge_and_stage, batch_format="pyarrow"
+    ).take_all()
+
+    # ---- error budget (before commit: a failed budget aborts cleanly) ----
+    n_dirty = 0
+    if cfg.dirty_dir is not None:
+        n_dirty = check_budget(cfg.dirty_dir, rows_hint, cfg.error_limit)
+    report.total_error_records = n_dirty
+    report.read_succeed_records = rows_hint - n_dirty
+
+    # ---- exactly-once commit loop (driver, label = (partition, txn_hi)) ----
+    for m in meta_rows:
+        if m["noop"]:
+            continue
+        status = lake.commit(
+            int(m["partition"]), int(m["txn_hi"]), list(m["staged"]),
+            int(m["row_count"]), int(m["num_bytes"]), run_id,
+        )
+        if status == "committed":
+            report.partitions_committed += 1
+            report.write_succeed_records += int(m["row_count"])
+            report.txn_hi = max(report.txn_hi, int(m["txn_hi"]))
+        else:
+            report.partitions_skipped += 1
+    report.partition_lag = {int(m["partition"]): int(m["txn_hi"]) for m in meta_rows}
+    lake.cleanup_staging(run_id)
+    report.finish(started)
+    report.write(lake.root)
+    return report

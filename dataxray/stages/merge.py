@@ -1,0 +1,96 @@
+"""Last-writer-wins merge kernels — the heart of the upsert engine.
+
+The reference delegates keyed LWW to the destination database
+(``replace INTO`` / ``ON DUPLICATE KEY UPDATE``,
+WriterUtil.getWriteTemplate:110-145; ES ``doc_as_upsert``,
+ElasticSearchWriter.java:953-957). We own it: a vectorized
+sort-by-(key, txn_id, seq) + take-last-run reduction over Arrow tables.
+
+LWW is an associative, commutative max-by-(txn_id, seq) reduction, which
+makes two scale tricks sound:
+  * **batch combiner** — reduce every batch before the shuffle so only one
+    row per (url, batch) crosses the wire (huge win at 70% update mix);
+  * **salted two-stage reduce** — per-(part, salt) partial winners feed a
+    final per-part reduce (hot-url mitigation, SURVEY.md §7.4).
+
+Tombstones (op='D') must survive partial reduces (a later batch may not know
+the url was deleted) and are dropped only in the final materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import OP_DELETE, OP_INSERT, align_table, state_schema
+
+ORDER = [("txn_id", "ascending"), ("seq", "ascending")]
+
+
+def lww_reduce(table: pa.Table, key: str = "url") -> pa.Table:
+    """Keep the single winning (max (txn_id, seq)) event per key.
+
+    Vectorized: sort by (key, txn_id, seq), then take the last row of each
+    equal-key run (run ends where the next key differs). Tombstones are kept —
+    callers drop them at materialization time only.
+    """
+    n = len(table)
+    if n == 0:
+        return table
+    t = table.sort_by([(key, "ascending")] + ORDER)
+    k = t[key].combine_chunks()
+    if n == 1:
+        return t
+    neq = pc.not_equal(k.slice(0, n - 1), k.slice(1, n))
+    last = np.empty(n, dtype=bool)
+    last[:-1] = neq.to_numpy(zero_copy_only=False)
+    last[-1] = True
+    return t.take(pa.array(np.nonzero(last)[0]))
+
+
+def drop_tombstones(table: pa.Table) -> pa.Table:
+    return table.filter(pc.not_equal(table["op"], OP_DELETE))
+
+
+class BatchCombiner:
+    """map_batches pre-shuffle combiner: one surviving event per url per batch."""
+
+    def __init__(self, key: str = "url"):
+        self.key = key
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return lww_reduce(batch, self.key)
+
+
+def state_as_events(state: pa.Table) -> pa.Table:
+    """Lift materialized lake rows back into the event stream (op='I' at their
+    recorded (txn_id, seq) lineage) so incremental merge is just another LWW
+    reduce over events ∪ state."""
+    op = pa.nulls(len(state), pa.string()).fill_null(OP_INSERT)
+    return state.append_column("op", op)
+
+
+def merge_partition(
+    events: pa.Table,
+    state: pa.Table | None,
+    target_event_schema: pa.Schema,
+    watermark: int,
+    key: str = "url",
+) -> pa.Table:
+    """Final per-partition merge: state ∪ fresh events → new state table.
+
+    ``watermark`` is the partition's committed txn_hi (manifest); events at or
+    below it were already applied and are filtered — this is what makes
+    re-delivered / replayed batches no-ops (exactly-once, FIXTURES.md §3.3).
+    Output schema = state_schema(target_event_schema): payload + lineage
+    (txn_id, seq), tombstones resolved.
+    """
+    if watermark >= 0:
+        events = events.filter(pc.greater(events["txn_id"], watermark))
+    parts = [align_table(events, target_event_schema)]
+    if state is not None and len(state):
+        parts.append(align_table(state_as_events(state), target_event_schema))
+    merged = lww_reduce(pa.concat_tables(parts), key)
+    merged = drop_tombstones(merged)
+    return align_table(merged, state_schema(target_event_schema))

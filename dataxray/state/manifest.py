@@ -1,0 +1,248 @@
+"""Parquet-lake layout + exactly-once per-partition manifest commits.
+
+Commit protocol, composed from the two idempotency patterns in the reference:
+  * hdfswriter: tasks write to a temp/uuid dir, the job's ``post()`` renames
+    files into place atomically (HdfsWriter.java:196,293-326);
+  * starrockswriter: every flushed batch carries a *label* and a re-sent label
+    is recognized and skipped (StarRocksWriterManager.java:33-143, label :52).
+
+Here: each per-partition merge task writes its new state file(s) under
+``_staging/<run_id>/part-<p>/`` with uuid names (task retries collide on
+nothing), and the driver commits by (a) renaming the staged files into
+``part=<p>/txn=<txn_hi>/`` and (b) atomically replacing the partition's
+manifest JSON. The label is ``(partition, txn_hi)`` with **monotonic txn
+ids**: a commit whose txn_hi <= the manifest's is a recognized replay and is
+skipped — re-running a committed batch changes nothing.
+
+Layout:
+    lake/
+      _meta.json                    partitioner id, P, event schema (b64 Arrow)
+      _manifests/part-00007.json    {partition, txn_hi, files, row_count, ...}
+      _staging/<run_id>/part-00007/data-<uuid>.parquet
+      part=00007/txn=0000000042/data-<uuid>.parquet
+
+On a multi-node cluster this root lives on shared storage (S3/HDFS); renames
+become copy+delete or a conditional put of the manifest — the protocol itself
+(staged uuid files + label-deduped manifest swap) is unchanged.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import shutil
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..hashing import partitioner_id
+from ..schema import unify
+
+META = "_meta.json"
+MANIFESTS = "_manifests"
+STAGING = "_staging"
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _schema_to_b64(schema: pa.Schema) -> str:
+    return base64.b64encode(schema.serialize().to_pybytes()).decode()
+
+
+def _schema_from_b64(s: str) -> pa.Schema:
+    return pa.ipc.read_schema(pa.py_buffer(base64.b64decode(s)))
+
+
+class Lake:
+    def __init__(self, root: str):
+        self.root = root
+
+    # ---------- meta ----------
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.root, META))
+
+    def init(
+        self, num_partitions: int, event_schema: pa.Schema, pages_path: str | None = None
+    ) -> None:
+        os.makedirs(os.path.join(self.root, MANIFESTS), exist_ok=True)
+        _atomic_write_json(
+            os.path.join(self.root, META),
+            {
+                "partitioner": partitioner_id(),
+                "num_partitions": num_partitions,
+                "event_schema": _schema_to_b64(event_schema),
+                # crash-safe bootstrap: until every partition has committed a
+                # manifest, replays keep folding the base pages back in (the
+                # per-partition watermark makes that a no-op where committed)
+                "bootstrap_pages": pages_path,
+            },
+        )
+
+    def bootstrap_pages(self) -> str | None:
+        """Pages path to keep replaying while any partition lacks a manifest."""
+        meta = self.meta()
+        if meta.get("bootstrap_pages") is None:
+            return None
+        if len(self.watermarks()) >= meta["num_partitions"]:
+            return None  # bootstrap complete everywhere
+        return meta["bootstrap_pages"]
+
+    def meta(self) -> dict:
+        with open(os.path.join(self.root, META)) as f:
+            return json.load(f)
+
+    def num_partitions(self) -> int:
+        return self.meta()["num_partitions"]
+
+    def event_schema(self) -> pa.Schema:
+        return _schema_from_b64(self.meta()["event_schema"])
+
+    def validate_partitioner(self) -> None:
+        """Resume safety: a changed hash implementation would silently route
+        events to the wrong partitions — fail loudly instead."""
+        got = self.meta()["partitioner"]
+        if got != partitioner_id():
+            raise RuntimeError(
+                f"lake was partitioned with {got!r}, this install hashes with "
+                f"{partitioner_id()!r}; refusing to resume"
+            )
+
+    def evolve_schema(self, new_event_schema: pa.Schema) -> None:
+        """Additive promotion (pa.unify_schemas); old files stay valid —
+        missing columns read as nulls (schema evolution, SURVEY.md §7.1)."""
+        meta = self.meta()
+        merged = unify([self.event_schema(), new_event_schema])
+        meta["event_schema"] = _schema_to_b64(merged)
+        _atomic_write_json(os.path.join(self.root, META), meta)
+
+    # ---------- manifests ----------
+    def _manifest_path(self, p: int) -> str:
+        return os.path.join(self.root, MANIFESTS, f"part-{p:05d}.json")
+
+    def manifest(self, p: int) -> dict | None:
+        path = self._manifest_path(p)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def watermarks(self) -> dict[int, int]:
+        """Per-partition committed txn_hi — the resumable checkpoint."""
+        out: dict[int, int] = {}
+        mdir = os.path.join(self.root, MANIFESTS)
+        if not os.path.isdir(mdir):
+            return out
+        for name in os.listdir(mdir):
+            if name.startswith("part-") and name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as f:
+                    m = json.load(f)
+                out[m["partition"]] = m["txn_hi"]
+        return out
+
+    # ---------- staging / data ----------
+    def stage_dir(self, run_id: str, p: int) -> str:
+        d = os.path.join(self.root, STAGING, run_id, f"part-{p:05d}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def write_staged(self, run_id: str, p: int, table: pa.Table) -> dict:
+        """Called from inside merge tasks: write new partition state, return
+        commit metadata (a small row — the data itself never re-shuffles)."""
+        path = os.path.join(self.stage_dir(run_id, p), f"data-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, path)
+        return {
+            "partition": p,
+            "staged": [path],
+            "row_count": len(table),
+            "num_bytes": table.nbytes,
+        }
+
+    def partition_files(self, p: int) -> list[str]:
+        m = self.manifest(p)
+        if m is None:
+            return []
+        return [os.path.join(self.root, f) for f in m["files"]]
+
+    def read_state(self, p: int) -> pa.Table | None:
+        files = self.partition_files(p)
+        if not files:
+            return None
+        return pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="permissive"
+        )
+
+    # ---------- commit ----------
+    def commit(
+        self, p: int, txn_hi: int, staged: list[str], row_count: int, num_bytes: int, run_id: str
+    ) -> str:
+        """Atomic label-deduped commit. Returns 'committed' or 'skipped'."""
+        cur = self.manifest(p)
+        if cur is not None and cur["txn_hi"] >= txn_hi:
+            for s in staged:  # replayed label → drop the duplicate output
+                if os.path.exists(s):
+                    os.remove(s)
+            return "skipped"
+        final_dir = os.path.join(self.root, f"part={p:05d}", f"txn={txn_hi:010d}")
+        os.makedirs(final_dir, exist_ok=True)
+        rel_files = []
+        for s in staged:
+            dest = os.path.join(final_dir, os.path.basename(s))
+            os.replace(s, dest)
+            rel_files.append(os.path.relpath(dest, self.root))
+        _atomic_write_json(
+            self._manifest_path(p),
+            {
+                "partition": p,
+                "txn_hi": txn_hi,
+                "files": rel_files,
+                "row_count": row_count,
+                "num_bytes": num_bytes,
+                "run_id": run_id,
+            },
+        )
+        self._gc_partition(p, keep_txn=txn_hi)
+        return "committed"
+
+    def _gc_partition(self, p: int, keep_txn: int) -> None:
+        """Drop superseded txn dirs (old versions) — best-effort."""
+        pdir = os.path.join(self.root, f"part={p:05d}")
+        if not os.path.isdir(pdir):
+            return
+        for name in os.listdir(pdir):
+            if name.startswith("txn=") and int(name.split("=")[1]) != keep_txn:
+                shutil.rmtree(os.path.join(pdir, name), ignore_errors=True)
+
+    def cleanup_staging(self, run_id: str) -> None:
+        shutil.rmtree(os.path.join(self.root, STAGING, run_id), ignore_errors=True)
+
+    # ---------- reads ----------
+    def all_files(self) -> list[str]:
+        files: list[str] = []
+        for p in sorted(self.watermarks()):
+            files.extend(self.partition_files(p))
+        return files
+
+    def read_all(self) -> pa.Table:
+        """Whole-lake table (tests / small results only)."""
+        files = self.all_files()
+        if not files:
+            return pa.table({})
+        return pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="permissive"
+        )
+
+    def dataset(self, **kwargs):
+        """Streaming read of the current lake snapshot as a ray.data.Dataset."""
+        import ray.data
+
+        files = self.all_files()
+        return ray.data.read_parquet(files, **kwargs)
