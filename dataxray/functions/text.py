@@ -1,0 +1,138 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These extend the reference's per-record transform surface (SURVEY.md §2.1)
+with the document-level ops a 100 TB web-text pipeline needs: token counting,
+quality scoring, language ID, and document fingerprinting. All are
+batch-vectorized (pyarrow.compute / numpy); language ID keeps its compiled
+state in an actor (__init__ once per actor, __call__ per batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = r"\s+"
+_PUNCT_CLASS = r"[.!?,;:]"
+
+
+def token_count(arr: pa.ChunkedArray) -> pa.Array:
+    """Whitespace-separated token count; ''/null → 0.
+
+    Mirrors: CASE WHEN trim(text)='' THEN 0 ELSE
+    len(regexp_split_to_array(trim(text), '\\s+')) END (the DuckDB oracle)."""
+    s = pc.utf8_trim_whitespace(pc.fill_null(arr, ""))
+    n = pc.list_value_length(pc.split_pattern_regex(s, _WS))
+    return pc.if_else(pc.equal(s, ""), pa.scalar(0, pa.int32()), n).combine_chunks() \
+        if isinstance(n, pa.ChunkedArray) else pc.if_else(pc.equal(s, ""), pa.scalar(0, pa.int32()), n)
+
+
+def add_token_count(batch: pa.Table, col: str = "text", out: str = "n_tokens") -> pa.Table:
+    return batch.append_column(out, pc.cast(token_count(batch[col]), pa.int64()))
+
+
+def add_quality_signals(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Length / punctuation / mean-token-length quality signals, all
+    derivable in ANSI SQL for the oracle."""
+    s = pc.fill_null(batch[col], "")
+    n_chars = pc.cast(pc.utf8_length(s), pa.int64())
+    n_tokens = pc.cast(token_count(batch[col]), pa.int64())
+    n_punct = pc.cast(
+        pc.list_value_length(pc.split_pattern_regex(s, _PUNCT_CLASS)), pa.int64()
+    )
+    n_punct = pc.subtract(n_punct, 1)  # k splits = k-1 separators
+    punct_ratio = pc.if_else(
+        pc.greater(n_chars, 0),
+        pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(n_chars, pa.float64())),
+        pa.scalar(0.0),
+    )
+    mean_tok_len = pc.if_else(
+        pc.greater(n_tokens, 0),
+        pc.divide(pc.cast(n_chars, pa.float64()), pc.cast(n_tokens, pa.float64())),
+        pa.scalar(0.0),
+    )
+    for name, col_arr in [("n_chars_calc", n_chars), ("n_tokens", n_tokens),
+                          ("punct_ratio", punct_ratio), ("mean_token_len", mean_tok_len)]:
+        batch = batch.append_column(name, col_arr)
+    return batch
+
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic language
+# identifier — intentionally small; a real deployment would broadcast a model.
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"},
+    "es": {"el", "la", "los", "es", "un", "una", "para", "que", "con", "por"},
+    "pt": {"o", "a", "os", "as", "é", "um", "uma", "para", "com", "não"},
+}
+
+
+class LangId:
+    """Actor-pool language identifier: stopword-hit scoring per language.
+
+    State (compiled regex, stopword sets) built once per actor in __init__
+    (the DataX per-task init lifecycle, dataxPluginDev.md:33-41); batches are
+    scored in __call__. Ties/no-hits → 'und'.
+    """
+
+    def __init__(self, stopwords: dict[str, set[str]] | None = None):
+        import re
+
+        self.words = re.compile(r"[\w']+", re.U)
+        self.stop = stopwords or _STOPWORDS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch["text"], "").to_pylist()
+        preds = []
+        for t in texts:
+            toks = self.words.findall(t.lower())
+            best, best_hits = "und", 0
+            for lang, sw in self.stop.items():
+                hits = sum(1 for w in toks if w in sw)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            preds.append(best)
+        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+_FP_MOD = np.uint64((1 << 31) - 1)  # Mersenne prime; 31-bit keeps modmul in uint64
+_FP_BASE = np.uint64(1_000_003)
+
+
+def rolling_hash_u31(tokens_hashes: np.ndarray) -> np.uint64:
+    """Polynomial rolling hash over a token-hash sequence (mod 2^31-1),
+    vectorized: h = Σ t_i · B^(n-1-i). 31-bit values keep every product
+    inside uint64."""
+    n = len(tokens_hashes)
+    if n == 0:
+        return np.uint64(0)
+    powers = np.empty(n, dtype=np.uint64)
+    powers[0] = 1
+    for i in range(1, n):  # n = token count; cheap vs the per-token work
+        powers[i] = (powers[i - 1] * _FP_BASE) % _FP_MOD
+    terms = ((tokens_hashes.astype(np.uint64) % _FP_MOD) * powers[::-1]) % _FP_MOD
+    return np.uint64(terms.sum() % _FP_MOD)
+
+
+def fingerprint64(arr: pa.ChunkedArray) -> pa.Array:
+    """Stable 64-bit content fingerprint per document (blake2b-8; C-speed
+    digest per row — the digest dominates, and the stage parallelizes across
+    tasks). Used for exact-dup detection and incremental diffing."""
+    import hashlib
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    s = pc.fill_null(arr, "")
+    out = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(), "big") >> 1
+         for v in s.to_pylist()),
+        dtype=np.int64,
+        count=len(s),
+    )
+    return pa.array(out)
+
+
+def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fp64") -> pa.Table:
+    return batch.append_column(out, fingerprint64(batch[col]))

@@ -1,0 +1,149 @@
+"""Text / dedup / similarity / multimodal operator tests over the driver
+testdata tables (sf0.001) and small synthetic cases."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_token_count_matches_python_split(docs):
+    from dataxray.functions.text import add_token_count
+
+    out = docs.map_batches(add_token_count, batch_format="pyarrow").take(50)
+    for r in out:
+        assert r["n_tokens"] == len(r["text"].split())
+
+
+def test_quality_signals(docs):
+    from dataxray.functions.text import add_quality_signals
+
+    out = docs.map_batches(add_quality_signals, batch_format="pyarrow").take(20)
+    for r in out:
+        assert r["n_chars_calc"] == len(r["text"])
+        assert r["mean_token_len"] == pytest.approx(len(r["text"]) / len(r["text"].split()))
+
+
+def test_langid_actor(docs):
+    from dataxray.functions.text import LangId
+
+    out = docs.map_batches(LangId, batch_format="pyarrow", concurrency=2,
+                           batch_size=128).take_all()
+    assert all(r["lang_pred"] in {"en", "de", "fr", "es", "pt", "und"} for r in out)
+
+
+def test_fingerprint_stable_and_distinct():
+    from dataxray.functions.text import fingerprint64
+
+    a = fingerprint64(pa.chunked_array([pa.array(["abc", "abd", "abc", ""])]))
+    assert a[0] == a[2] and a[0] != a[1]
+    b = fingerprint64(pa.chunked_array([pa.array(["abc"])]))
+    assert a[0] == b[0]
+
+
+def test_exact_dedup_keeps_min_id():
+    from dataxray.functions.dedup import exact_dedup
+
+    ds = ray.data.from_items([
+        {"doc_id": 3, "text": "same text"},
+        {"doc_id": 1, "text": "same text"},
+        {"doc_id": 2, "text": "other"},
+    ])
+    out = exact_dedup(ds).take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    assert kept == [1, 2]
+
+
+def test_minhash_finds_near_duplicates():
+    from dataxray.functions.dedup import minhash_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy", 1)
+    other = "completely different words entirely unrelated content here " * 8
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": near},
+        {"doc_id": 3, "text": other},
+    ])
+    pairs = minhash_dedup_pairs(ds, threshold=0.5).take_all()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+
+def test_simhash_near_dup():
+    from dataxray.functions.dedup import SimHasher, hamming64, simhash_pairs
+
+    # deterministic fixture: one token changed among 150 distinct × 4 reps
+    # gives Hamming 3 (within the 4-chunk pigeonhole guarantee); disjoint
+    # vocab gives ~32
+    words = [f"tok{i}" for i in range(150)]
+    base = " ".join(words * 4)
+    near = base.replace("tok77", "tok999", 1)
+    other = " ".join(f"zzz{i}" for i in range(150))
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": base}, {"doc_id": 2, "text": near},
+        {"doc_id": 3, "text": other},
+    ])
+    sigs = ds.map_batches(SimHasher(), batch_format="pyarrow").take_all()
+    s = {r["doc_id"]: r["simhash"] for r in sigs}
+    assert hamming64(s[1], s[2]) <= 3 < hamming64(s[1], s[3])
+    pairs = simhash_pairs(ds, max_hamming=3).take_all()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+
+def test_knn_bruteforce_matches_numpy(embs):
+    from dataxray.functions.similarity import knn_bruteforce
+
+    rows = embs.take_all()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    out = knn_bruteforce(embs, query_ids=[0, 1], k=3).take_all()
+    for qid in (0, 1):
+        got = sorted([r for r in out if r["query_id"] == qid], key=lambda r: r["rank"])
+        sims = mat[ids == qid] @ mat.T
+        order = np.argsort(-sims[0])
+        expect = [int(ids[j]) for j in order if ids[j] != qid][:3]
+        assert [r["neighbor_id"] for r in got] == expect
+
+
+def test_knn_lsh_subset_of_bruteforce(embs):
+    from dataxray.functions.similarity import knn_lsh
+
+    out = knn_lsh(embs, query_ids=[5], k=3, num_planes=4).take_all()
+    assert len(out) <= 3 and all(r["query_id"] == 5 for r in out)
+
+
+def test_embedding_dup_pairs_canonical(embs):
+    from dataxray.functions.dedup import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(embs.limit(100), threshold=0.2).take_all()
+    assert all(p["id_a"] < p["id_b"] for p in pairs)
+    assert all(p["cosine"] >= 0.2 for p in pairs)
+
+
+def test_multimodal_fake_decode_plumbing():
+    from dataxray.functions.multimodal import LibraryDecoder, extract_features
+    from dataxray.gen import GenConfig, generate_pages
+
+    pages = generate_pages(GenConfig(n_urls=64, html_mean=128))
+    ds = ray.data.from_arrow(pages)
+    out = extract_features(ds, binary_col="html", feature_dim=8, concurrency=2)
+    rows = out.take_all()
+    assert len(rows) == 64
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all("html" not in r for r in rows)
+    assert any(r["media_len"] > 0 for r in rows)
+    with pytest.raises(NotImplementedError):
+        LibraryDecoder("image")
