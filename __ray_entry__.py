@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship CDC LWW replay on sf0.001. ``queries()`` maps
+every implemented operator/pipeline (SURVEY.md §2) to a callable over
+``sf_dir``; ``oracle_sql()`` gives the DuckDB-equivalent SQL with IDENTICAL
+column names. Ray is initialised by the driver before importing this module —
+nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +12,162 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from dataxray.pipelines import reports as R
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: replay the events table as a CDC change log (url-hash
+    partitioned LWW upsert into an exactly-once Parquet lake) at sf0.001."""
+    return R.cdc_lww_replay("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # --- CDC engine (flagship; full replay → lake → final state) ---
+        "cdc_lww_replay": R.cdc_lww_replay,
+        "cdc_lww_salted": R.cdc_lww_salted,
+        "cdc_incremental": R.cdc_incremental,
+        # --- dx_* transform surface ---
+        "dx_substr": R.dx_substr_part,
+        "dx_pad": R.dx_pad_nation,
+        "dx_replace": R.dx_replace_customer,
+        "dx_filter_like": R.dx_filter_like_docs,
+        "dx_filter_cmp": R.dx_filter_cmp_lineitem,
+        "dx_digest": R.dx_digest_docs,
+        "transform_chain": R.transform_chain_docs,
+        # --- framework analogs ---
+        "const_and_prune": R.const_and_prune,
+        "column_cast": R.column_cast,
+        "error_split_valid": R.error_split_valid,
+        "range_split": R.range_split_orders,
+        # --- aggregates / joins / windows ---
+        "agg_pricing_summary": R.agg_pricing_summary,
+        "broadcast_join_segments": R.broadcast_join_segments,
+        "window_tumbling": R.window_tumbling,
+        # --- training-data ops (SQL-checkable) ---
+        "dedup_exact_groups": R.dedup_exact_groups,
+        "token_stats": R.token_stats,
+        "quality_stats": R.quality_stats,
+        "knn_cosine_top5": R.knn_cosine_top5,
+        "embedding_dup_ids": R.embedding_dup_ids,
+        # --- non-SQL-expressible (rows-only checks) ---
+        "minhash_dedup": R.minhash_dedup,
+        "simhash_signatures": R.simhash_signatures,
+        "langid_pred": R.langid_pred,
+        "doc_fingerprints": R.doc_fingerprints,
+        "knn_lsh_top5": R.knn_lsh_top5,
+        "multimodal_features": R.multimodal_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_CDC_SQL = """
+WITH ev AS (
+  SELECT 'https://user' || CAST(user_id AS VARCHAR) AS url,
+         event_id AS txn_id, ts AS warc_ts, props AS text,
+         event_type AS lang, event_type
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY txn_id DESC) AS rn
+  FROM ev
+)
+SELECT url, txn_id, warc_ts, text, lang
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+_N_TOKENS = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_lww_replay": _CDC_SQL,
+        "cdc_lww_salted": _CDC_SQL,
+        "cdc_incremental": _CDC_SQL,
+        "dx_substr": "SELECT p_partkey, substr(p_name, 3, 8) AS p_sub FROM part",
+        "dx_pad": "SELECT n_nationkey, lpad(n_name, 12, '*') AS n_padded FROM nation",
+        "dx_replace": (
+            "SELECT c_custkey, substr(c_name, 1, 2) || 'XX' || substr(c_name, 7) "
+            "AS c_redacted FROM customer"
+        ),
+        "dx_filter_like": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE lang IS NULL OR NOT regexp_full_match(lang, 'en|de')"
+        ),
+        "dx_filter_cmp": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_quantity IS NULL OR NOT (l_quantity > 25)"
+        ),
+        "dx_digest": "SELECT doc_id, md5(text) AS text_digest FROM documents",
+        "transform_chain": (
+            "SELECT doc_id, md5(substr(text, 1, 20)) AS text FROM documents "
+            "WHERE lang IS NULL OR NOT regexp_full_match(lang, 'en')"
+        ),
+        "const_and_prune": "SELECT c_custkey, c_name, 'dataxray' AS src FROM customer",
+        "column_cast": (
+            "SELECT event_id, CAST(event_id AS VARCHAR) AS id_str, "
+            "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str FROM events"
+        ),
+        "error_split_valid": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE value IS NULL OR NOT (value > 40)"
+        ),
+        "range_split": (
+            "WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders) "
+            "SELECT ((o_orderkey - lo) * 8) // (hi - lo + 1) AS range_id, "
+            "count(*) AS n_rows, min(o_orderkey) AS key_lo, max(o_orderkey) AS key_hi "
+            "FROM orders, b GROUP BY 1"
+        ),
+        # monetary sums are exact fixed-point (per-row round to cents / 1e-4,
+        # then integer sums) so both engines produce bit-identical values
+        "agg_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
+            "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_c, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) "
+            "AS BIGINT) AS sum_disc_e4, count(*) AS n_rows FROM lineitem GROUP BY 1, 2"
+        ),
+        "broadcast_join_segments": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_c "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+        ),
+        "window_tumbling": (
+            "SELECT user_id, date_trunc('hour', ts) AS window_start, "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_c "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "dedup_exact_groups": (
+            "SELECT md5(text) AS content_key, min(doc_id) AS keep_id, "
+            "count(*) AS n_dups FROM documents GROUP BY 1"
+        ),
+        "token_stats": f"SELECT doc_id, {_N_TOKENS} AS n_tokens FROM documents",
+        "quality_stats": (
+            "SELECT doc_id, length(text) AS n_chars_calc, "
+            f"{_N_TOKENS} AS n_tokens, "
+            "CASE WHEN length(text) > 0 THEN "
+            "CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)"
+            " / length(text) ELSE 0.0 END AS punct_ratio, "
+            f"CASE WHEN {_N_TOKENS} > 0 THEN "
+            f"CAST(length(text) AS DOUBLE) / ({_N_TOKENS}) ELSE 0.0 END AS mean_token_len "
+            "FROM documents"
+        ),
+        "knn_cosine_top5": (
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
+            "FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)), "
+            "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id) "
+            "SELECT query_id, neighbor_id, CAST(row_number() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank "
+            "FROM s QUALIFY rank <= 5"
+        ),
+        "embedding_dup_ids": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.3"
+        ),
+    }

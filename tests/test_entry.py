@@ -1,0 +1,64 @@
+"""Driver-contract regression guard: entry() + a sample of queries() vs their
+DuckDB oracles at sf0.001 (the full gate is tools/check_correctness.py at
+sf0.01 — run it after touching reports.py or __ray_entry__.py)."""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+SAMPLE = ["cdc_lww_replay", "dx_substr", "agg_pricing_summary", "knn_cosine_top5",
+          "window_tumbling", "dedup_exact_groups"]
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __ray_entry__ as e
+
+    return e
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_entry_returns_state(entrymod):
+    out = entrymod.entry()
+    assert out.num_rows > 0
+    assert out.schema.names == ["url", "txn_id", "warc_ts", "text", "lang"]
+
+
+def test_every_oracle_has_a_query(entrymod):
+    assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_oracle(entrymod, con, name):
+    import pyarrow as pa
+    import ray.data
+
+    got = entrymod.queries()[name](SF)
+    if isinstance(got, ray.data.Dataset):
+        got = got.to_pandas()
+    elif isinstance(got, pa.Table):
+        got = got.to_pandas()
+    want = con.execute(entrymod.oracle_sql()[name]).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(canon(got), canon(want))
