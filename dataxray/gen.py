@@ -49,6 +49,8 @@ class GenConfig:
     seed: int = 42
     p_ops: tuple[float, float, float] = (0.2, 0.7, 0.1)  # I, U, D
     dirty_frac: float = 0.0
+    compression: str = "zstd"  # what a real 100TB event lake ships as
+    row_group_size: int = 32_768  # split granularity for parallel reads
 
     @property
     def txns_total(self) -> int:
@@ -204,12 +206,13 @@ def write_dataset(out_dir: str, cfg: GenConfig, parallel: bool = True) -> dict:
                 with open(meta_path) as f2:
                     return json.load(f2)
     os.makedirs(os.path.join(out_dir, "events"), exist_ok=True)
-    pq.write_table(generate_pages(cfg), os.path.join(out_dir, "pages.parquet"))
+    pq.write_table(generate_pages(cfg), os.path.join(out_dir, "pages.parquet"),
+                   compression=cfg.compression, row_group_size=cfg.row_group_size)
 
     def _write_shard(shard: int) -> tuple[str, int, int]:
         t = generate_event_shard(cfg, shard)
         path = os.path.join(out_dir, "events", f"events-{shard:05d}.parquet")
-        pq.write_table(t, path)
+        pq.write_table(t, path, compression=cfg.compression, row_group_size=cfg.row_group_size)
         lo, hi = shard_txn_range(cfg, shard)
         return path, lo, hi
 

@@ -28,25 +28,38 @@ from ..schema import OP_DELETE, OP_INSERT, align_table, state_schema
 ORDER = [("txn_id", "ascending"), ("seq", "ascending")]
 
 
-def lww_reduce(table: pa.Table, key: str = "url") -> pa.Table:
-    """Keep the single winning (max (txn_id, seq)) event per key.
+def lww_winner_indices(table: pa.Table, key: str = "url") -> np.ndarray:
+    """Row indices of the winning (max (txn_id, seq)) event per key.
 
-    Vectorized: sort by (key, txn_id, seq), then take the last row of each
-    equal-key run (run ends where the next key differs). Tombstones are kept —
-    callers drop them at materialization time only.
-    """
-    n = len(table)
-    if n == 0:
-        return table
-    t = table.sort_by([(key, "ascending")] + ORDER)
-    k = t[key].combine_chunks()
-    if n == 1:
-        return t
-    neq = pc.not_equal(k.slice(0, n - 1), k.slice(1, n))
-    last = np.empty(n, dtype=bool)
-    last[:-1] = neq.to_numpy(zero_copy_only=False)
+    Key-only reduction: dictionary-encode the key and lexsort just the three
+    key/order columns — the wide payload (html!) is never sorted or copied;
+    the caller does ONE take of the surviving rows. This is what keeps the
+    map phase memory-bandwidth-light at scale (a full-table sort_by rewrites
+    every KB-sized row; this touches ~16 bytes/row)."""
+    codes = pc.dictionary_encode(table[key].combine_chunks()).indices.to_numpy(
+        zero_copy_only=False
+    )
+    txn = table["txn_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    seq = table["seq"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((seq, txn, codes))
+    sorted_codes = codes[order]
+    last = np.empty(len(order), dtype=bool)
+    last[:-1] = sorted_codes[1:] != sorted_codes[:-1]
     last[-1] = True
-    return t.take(pa.array(np.nonzero(last)[0]))
+    return order[last]
+
+
+def lww_reduce(table: pa.Table, key: str = "url") -> pa.Table:
+    """Keep the single winning (max (txn_id, seq)) event per key. Output row
+    order is unspecified (LWW is a set-valued reduction). Tombstones are
+    kept — callers drop them at materialization time only."""
+    n = len(table)
+    if n <= 1:
+        return table
+    idx = lww_winner_indices(table, key)
+    if len(idx) == n:
+        return table  # all keys unique — nothing to reduce, skip the copy
+    return table.take(pa.array(np.sort(idx)))
 
 
 def drop_tombstones(table: pa.Table) -> pa.Table:

@@ -154,11 +154,13 @@ class Lake:
         os.makedirs(d, exist_ok=True)
         return d
 
+    COMPRESSION = "zstd"  # lake files are long-lived: trade CPU for bytes
+
     def write_staged(self, run_id: str, p: int, table: pa.Table) -> dict:
         """Called from inside merge tasks: write new partition state, return
         commit metadata (a small row — the data itself never re-shuffles)."""
         path = os.path.join(self.stage_dir(run_id, p), f"data-{uuid.uuid4().hex}.parquet")
-        pq.write_table(table, path)
+        pq.write_table(table, path, compression=self.COMPRESSION)
         return {
             "partition": p,
             "staged": [path],
