@@ -1,0 +1,349 @@
+"""Config-driven job runner — the DataX job.json surface on Ray Data.
+
+Honors the reference's job spec shape (Configuration JSON tree,
+Engine.java:122-186 / JobContainer.start, SURVEY.md §3.1):
+
+    {"job": {
+       "setting": {
+         "speed":      {"channel": 8, "record": 100000, "byte": 1048576},
+         "errorLimit": {"record": 0, "percentage": 0.02},
+         "dryRun":     false
+       },
+       "content": [{
+         "reader":      {"name": "parquetreader", "parameter": {...}},
+         "transformer": [{"name": "dx_substr", "parameter":
+                          {"columnIndex": 1, "paras": ["0", "5"]}}],
+         "writer":      {"name": "parquetwriter", "parameter": {...}}
+       }]
+    }}
+
+Readers: parquetreader, csvreader (txtfilereader analog), streamreader
+(synthetic generator analog, StreamReader.java:99-171), walreader (the CDC
+event source). Writers: parquetwriter / csvwriter (hdfswriter/txtfilewriter
+analogs; writeMode truncate|append|nonConflict, TxtFileWriter.java:97-197),
+streamwriter (count/print smoke sink, streamwriter module), lakewriter (the
+exactly-once CDC lake sink).
+
+Mappings:
+  speed.channel      → per-stage concurrency hint + read parallelism
+                       (adjustChannelNumber, JobContainer.java:394-449)
+  speed.record/byte  → sleep-based token-bucket stage (Channel.java:148-204
+                       flow control; approximated per-task)
+  errorLimit         → dirty-parquet side channel + post-run budget check
+                       (ErrorRecordChecker.java:18-84)
+  dryRun             → preCheck only: resolve reader, print plan, no execution
+                       (JobContainer.java:103-106)
+  preHandler/postHandler → dotted "pkg.mod:fn" callables
+                       (JobContainer.java:308-363)
+
+Run: python -m dataxray.cli --job job.json   (owns its Ray session)
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as globmod
+import importlib
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from .errors import ErrorLimit, check_budget
+from .functions.transforms import build_chain
+
+
+# ---------------------------------------------------------------------------
+# readers
+# ---------------------------------------------------------------------------
+
+
+def _reader_parquet(param: dict, channels: int):
+    import ray.data
+
+    paths = param["path"] if isinstance(param["path"], list) else [param["path"]]
+    files: list[str] = []
+    for p in paths:
+        files.extend(sorted(globmod.glob(p)) if any(c in p for c in "*?[") else [p])
+    return ray.data.read_parquet(files, columns=param.get("column")), len(files)
+
+
+def _reader_csv(param: dict, channels: int):
+    import ray.data
+
+    paths = param["path"] if isinstance(param["path"], list) else [param["path"]]
+    files = []
+    for p in paths:
+        files.extend(sorted(globmod.glob(p)) if any(c in p for c in "*?[") else [p])
+    return ray.data.read_csv(files), len(files)
+
+
+def _reader_stream(param: dict, channels: int):
+    """streamreader analog: N slices × sliceRecordCount rows of const /
+    seeded-random columns (StreamReader.java:99-171; deterministic here —
+    seed = f(42, slice) instead of wall-clock RNG)."""
+    import ray.data
+
+    count = int(param["sliceRecordCount"])
+    cols = param["column"]
+    slices = max(1, channels)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        out = {}
+        for i, spec in enumerate(cols):
+            sl = int(batch["id"][0].as_py())
+            rng = np.random.default_rng(np.random.SeedSequence([42, sl, i]))
+            n = count
+            typ = spec.get("type", "string")
+            if "value" in spec:  # constant column
+                arr = pa.nulls(n, pa.string()).fill_null(str(spec["value"]))
+                if typ == "long":
+                    arr = pa.array(np.full(n, int(spec["value"]), np.int64))
+                elif typ == "double":
+                    arr = pa.array(np.full(n, float(spec["value"]), np.float64))
+            elif "random" in spec:
+                lo, hi = (int(x) for x in str(spec["random"]).split(","))
+                if typ == "long":
+                    arr = pa.array(rng.integers(lo, hi + 1, size=n, dtype=np.int64))
+                elif typ == "double":
+                    arr = pa.array(rng.uniform(lo, hi, size=n))
+                elif typ == "bool":
+                    arr = pa.array(rng.integers(0, 2, size=n, dtype=np.int64) == 1)
+                else:  # random-length string
+                    lens = rng.integers(lo, hi + 1, size=n)
+                    arr = pa.array(["x" * int(L) for L in lens], pa.string())
+            else:
+                raise ValueError(f"stream column {i}: need 'value' or 'random'")
+            out[spec.get("name", f"col{i}")] = arr
+        return pa.table(out)
+
+    ds = ray.data.range(slices, override_num_blocks=slices)
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=1), slices
+
+
+def _reader_wal(param: dict, channels: int):
+    from .sources import wal
+
+    ds, schema, n = wal.read_events(param["path"], int(param.get("lowWatermark", 0)))
+    if ds is None:
+        raise ValueError(f"no event files under {param['path']}")
+    return ds, n
+
+
+READERS = {
+    "parquetreader": _reader_parquet,
+    "csvreader": _reader_csv,
+    "txtfilereader": _reader_csv,
+    "streamreader": _reader_stream,
+    "walreader": _reader_wal,
+}
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+
+
+def _prep_dir(path: str, write_mode: str) -> None:
+    """writeMode semantics per TxtFileWriter.java:97-197 / HdfsWriter.java:83-92."""
+    if os.path.isdir(path) and os.listdir(path):
+        if write_mode == "truncate":
+            shutil.rmtree(path)
+        elif write_mode == "nonConflict":
+            raise FileExistsError(f"writeMode=nonConflict and {path} is not empty")
+    os.makedirs(path, exist_ok=True)
+
+
+def _writer_parquet(ds, param: dict) -> dict:
+    path = param["path"]
+    _prep_dir(path, param.get("writeMode", "append"))
+    ds.write_parquet(path)
+    return {"sink": path}
+
+
+def _writer_csv(ds, param: dict) -> dict:
+    path = param["path"]
+    _prep_dir(path, param.get("writeMode", "append"))
+    ds.write_csv(path)
+    return {"sink": path}
+
+
+def _writer_stream(ds, param: dict) -> dict:
+    """streamwriter: count (and optionally print) — the smoke-test sink used
+    by the reference's default job (core/src/main/job/job.json)."""
+    if param.get("print"):
+        for row in ds.take(int(param.get("printLimit", 10))):
+            print(row)
+    return {"rows": ds.count()}
+
+
+def _writer_lake(ds, param: dict) -> dict:
+    """Exactly-once CDC lake sink: the dataset must be change-events shaped;
+    runs the full url-hash LWW replay commit path."""
+    raise NotImplementedError(
+        "use walreader + pipelines.replay.replay() for CDC jobs; "
+        "lakewriter as a generic sink lands in a later round"
+    )
+
+
+WRITERS = {
+    "parquetwriter": _writer_parquet,
+    "txtfilewriter": _writer_csv,
+    "csvwriter": _writer_csv,
+    "streamwriter": _writer_stream,
+    "lakewriter": _writer_lake,
+}
+
+
+# ---------------------------------------------------------------------------
+# speed control
+# ---------------------------------------------------------------------------
+
+
+class RateLimiter:
+    """Sleep-based records/s + bytes/s throttle per task (flow control per
+    Channel.java:148-204; the global cap is approximated as cap/concurrency
+    per concurrent task, like DataX's per-channel caps)."""
+
+    def __init__(self, records_per_s: float | None, bytes_per_s: float | None):
+        self.rps = records_per_s
+        self.bps = bytes_per_s
+        self.start = None
+        self.rows = 0
+        self.nbytes = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        now = time.monotonic()
+        if self.start is None:
+            self.start = now
+        self.rows += len(batch)
+        self.nbytes += batch.nbytes
+        waits = []
+        if self.rps:
+            waits.append(self.rows / self.rps - (now - self.start))
+        if self.bps:
+            waits.append(self.nbytes / self.bps - (now - self.start))
+        wait = max(waits, default=0.0)
+        if wait > 0:
+            time.sleep(min(wait, 5.0))
+        return batch
+
+
+# ---------------------------------------------------------------------------
+# job runner
+# ---------------------------------------------------------------------------
+
+
+def _load_handler(spec: str):
+    mod, fn = spec.split(":")
+    return getattr(importlib.import_module(mod), fn)
+
+
+def run_job(job: dict, dry_run: bool = False) -> dict:
+    setting = job.get("job", job).get("setting", {})
+    contents = job.get("job", job)["content"]
+    speed = setting.get("speed", {})
+    channels = int(speed.get("channel", 4))
+    el = setting.get("errorLimit", {})
+    error_limit = ErrorLimit(
+        record=el.get("record"), percentage=el.get("percentage")
+    )
+    dry_run = dry_run or bool(setting.get("dryRun"))
+
+    if pre := setting.get("preHandler"):
+        _load_handler(pre)(job)
+
+    reports = []
+    for content in contents:
+        rname = content["reader"]["name"]
+        wname = content["writer"]["name"]
+        if rname not in READERS:
+            raise KeyError(f"unknown reader {rname!r}; have {sorted(READERS)}")
+        if wname not in WRITERS:
+            raise KeyError(f"unknown writer {wname!r}; have {sorted(WRITERS)}")
+        t0 = time.perf_counter()
+        ds, n_splits = READERS[rname](content["reader"].get("parameter", {}), channels)
+
+        if dry_run:  # preCheck: plan only (JobContainer.java:103-106,182-279)
+            reports.append({
+                "reader": rname, "writer": wname, "splits": n_splits,
+                "schema": str(ds.schema()), "dryRun": True,
+            })
+            continue
+
+        dirty_dir = None
+        specs = content.get("transformer", [])
+        if specs:
+            dirty_dir = os.path.join("/tmp", "dataxray_cli_dirty", f"{time.time_ns()}")
+            chain = build_chain(
+                [{"name": s["name"], "parameters": s.get("parameter", {})} for s in specs]
+            )
+            chain.dirty_dir = dirty_dir
+            ds = ds.map_batches(chain, batch_format="pyarrow")
+
+        if speed.get("record") or speed.get("byte"):
+            ds = ds.map_batches(
+                RateLimiter,
+                fn_constructor_args=(
+                    (float(speed["record"]) / channels) if speed.get("record") else None,
+                    (float(speed["byte"]) / channels) if speed.get("byte") else None,
+                ),
+                batch_format="pyarrow", concurrency=channels, batch_size=4096,
+            )
+
+        sink_report = WRITERS[wname](ds, content["writer"].get("parameter", {}))
+
+        n_dirty = 0
+        if dirty_dir is not None and os.path.isdir(dirty_dir):
+            # total = sink rows + dirty rows (post-hoc; counters analog
+            # CommunicationTool.java:19-53)
+            n_out = sink_report.get("rows")
+            if n_out is None:
+                import pyarrow.parquet as pq
+
+                n_out = 0
+                for f in globmod.glob(os.path.join(sink_report["sink"], "*")):
+                    try:
+                        n_out += pq.read_metadata(f).num_rows
+                    except Exception:
+                        pass
+            n_dirty = check_budget(dirty_dir, n_out, error_limit)
+        reports.append({
+            "reader": rname, "writer": wname, "splits": n_splits,
+            "totalErrorRecords": n_dirty,
+            "elapsedSec": round(time.perf_counter() - t0, 3),
+            **sink_report,
+        })
+
+    if post := setting.get("postHandler"):
+        _load_handler(post)(job)
+    return {"content": reports}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="dataxray job runner")
+    ap.add_argument("--job", required=True, help="path to job.json")
+    ap.add_argument("--dry-run", action="store_true")
+    args = ap.parse_args()
+    with open(args.job) as f:
+        job = json.load(f)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        report = run_job(job, dry_run=args.dry_run)
+        print(json.dumps(report))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

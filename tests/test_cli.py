@@ -1,0 +1,108 @@
+"""Config-driven job runner tests (job.json surface, Engine/JobContainer
+analog — see cli.py header for the mapping table)."""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from dataxray.cli import run_job
+from dataxray.errors import ErrorBudgetExceeded
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_to_parquet_with_transforms(tmp_path):
+    out = str(tmp_path / "out")
+    job = {"job": {
+        "setting": {"speed": {"channel": 2}},
+        "content": [{
+            "reader": {"name": "streamreader", "parameter": {
+                "sliceRecordCount": 100,
+                "column": [
+                    {"name": "k", "type": "long", "random": "0,9"},
+                    {"name": "s", "type": "string", "value": "hello-world"},
+                ]}},
+            "transformer": [
+                {"name": "dx_substr", "parameter": {"columnName": "s", "paras": ["0", "5"]}},
+            ],
+            "writer": {"name": "parquetwriter", "parameter": {"path": out, "writeMode": "truncate"}},
+        }]}}
+    rep = run_job(job)
+    files = glob.glob(out + "/*.parquet")
+    t = pq.read_table(files[0] if len(files) == 1 else files)
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    assert total == 200  # 2 slices x 100
+    assert set(t["s"].to_pylist()) == {"hello"}
+    assert rep["content"][0]["splits"] == 2
+
+
+def test_parquet_to_stream_counts(tmp_path):
+    job = {"job": {"content": [{
+        "reader": {"name": "parquetreader", "parameter": {
+            "path": f"{SF}/nation.parquet", "column": ["n_nationkey", "n_name"]}},
+        "writer": {"name": "streamwriter", "parameter": {}},
+    }]}}
+    rep = run_job(job)
+    assert rep["content"][0]["rows"] == 25
+
+
+def test_dry_run_plans_only(tmp_path):
+    out = str(tmp_path / "never")
+    job = {"job": {
+        "setting": {"dryRun": True},
+        "content": [{
+            "reader": {"name": "parquetreader", "parameter": {"path": f"{SF}/region.parquet"}},
+            "writer": {"name": "parquetwriter", "parameter": {"path": out}},
+        }]}}
+    rep = run_job(job)
+    assert rep["content"][0]["dryRun"] is True
+    assert not os.path.exists(out)
+
+
+def test_write_mode_non_conflict(tmp_path):
+    out = str(tmp_path / "occupied")
+    os.makedirs(out)
+    open(os.path.join(out, "existing"), "w").close()
+    job = {"job": {"content": [{
+        "reader": {"name": "parquetreader", "parameter": {"path": f"{SF}/region.parquet"}},
+        "writer": {"name": "parquetwriter", "parameter": {"path": out, "writeMode": "nonConflict"}},
+    }]}}
+    with pytest.raises(FileExistsError):
+        run_job(job)
+
+
+def test_error_limit_enforced_via_filter_errors(tmp_path):
+    # dx_substr start beyond short strings -> error rows -> budget record=0 trips
+    out = str(tmp_path / "o2")
+    job = {"job": {
+        "setting": {"errorLimit": {"record": 0}},
+        "content": [{
+            "reader": {"name": "streamreader", "parameter": {
+                "sliceRecordCount": 50,
+                "column": [{"name": "s", "type": "string", "random": "1,4"}]}},
+            "transformer": [
+                {"name": "dx_substr", "parameter": {"columnName": "s", "paras": ["3", "2"]}}],
+            "writer": {"name": "parquetwriter", "parameter": {"path": out, "writeMode": "truncate"}},
+        }]}}
+    with pytest.raises(ErrorBudgetExceeded):
+        run_job(job)
+
+
+def test_rate_limit_slows_job(tmp_path):
+    import time
+
+    job = {"job": {
+        "setting": {"speed": {"channel": 1, "record": 400}},
+        "content": [{
+            "reader": {"name": "streamreader", "parameter": {
+                "sliceRecordCount": 400,
+                "column": [{"name": "k", "type": "long", "random": "0,9"}]}},
+            "writer": {"name": "streamwriter", "parameter": {}},
+        }]}}
+    t0 = time.perf_counter()
+    rep = run_job(job)
+    assert rep["content"][0]["rows"] == 400
+    assert time.perf_counter() - t0 >= 0.8  # 400 rows at 400/s ≈ 1s floor
