@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- aggregates / joins / windows ---
         "agg_pricing_summary": R.agg_pricing_summary,
         "broadcast_join_segments": R.broadcast_join_segments,
+        "hash_join_order_rows": R.hash_join_order_rows,
         "window_tumbling": R.window_tumbling,
         # --- training-data ops (SQL-checkable) ---
         "dedup_exact_groups": R.dedup_exact_groups,
@@ -132,6 +133,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment, count(*) AS n_orders, "
             "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_c "
             "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+        ),
+        "hash_join_order_rows": (
+            "SELECT o_orderkey, o_custkey, c_mktsegment, "
+            "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
         ),
         "window_tumbling": (
             "SELECT user_id, date_trunc('hour', ts) AS window_start, "

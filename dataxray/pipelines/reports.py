@@ -361,6 +361,26 @@ def broadcast_join_segments(sf_dir: str):
     )
 
 
+def hash_join_order_rows(sf_dir: str):
+    """Large×large hash-partitioned join (Dataset.join, both sides shuffled
+    on the key) — the non-broadcast complement to broadcast_join_segments.
+    Row-level output so the join itself is what's checked."""
+    import ray.data
+
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=16,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    out = joined.map_batches(
+        lambda t: t.append_column("price_c", _as_scaled_int(t["o_totalprice"], 100))
+        .drop_columns(["o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["o_orderkey", "o_custkey", "c_mktsegment", "price_c"])
+
+
 def window_tumbling(sf_dir: str):
     """Tumbling 1h event-time window per user (streaming-window analog over
     the bounded log; SURVEY.md §2.4 'bounded replays of a time window')."""
