@@ -48,6 +48,20 @@ class ReplayConfig:
     dirty_dir: str | None = None
 
 
+def _tune_read_parallelism() -> None:
+    """Size read tasks to the cluster: ~2 blocks per CPU. Ray's default floor
+    of 200 read blocks turns this pipeline into hundreds of ~10ms tasks and
+    makes the driver dispatch loop the critical path (measured 2-3x slower).
+    Only overrides the untouched default so callers keep control."""
+    import ray
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    if ctx.read_op_min_num_blocks == 200 and ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        ctx.read_op_min_num_blocks = max(16, cpus * 2)
+
+
 def _pages_as_events(pages_ds, target: pa.Schema):
     """Bootstrap: lift the base web-page table into the event stream at
     (txn_id=0, seq=0, op='I') — base state is just the oldest write."""
@@ -77,6 +91,7 @@ def replay(
     run_id = uuid.uuid4().hex[:12]
     report = RunReport(run_id=run_id)
     lake = Lake(lake_dir)
+    _tune_read_parallelism()
 
     bootstrap = not lake.exists()
     if not bootstrap:

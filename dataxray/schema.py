@@ -75,6 +75,8 @@ def unify(schemas: list[pa.Schema]) -> pa.Schema:
 def align_table(table: pa.Table, target: pa.Schema) -> pa.Table:
     """Project ``table`` onto ``target``: add all-null columns for missing
     fields, cast mismatched types, order columns as ``target``."""
+    if table.schema.equals(target):
+        return table  # common case (no evolution in flight): zero work
     n = len(table)
     cols = []
     for field in target:
