@@ -27,10 +27,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # Synthetic CDC workload (deterministic, cached under /tmp across runs —
-# regenerated only when the config changes). 8M events over 800k urls with
+# regenerated only when the config changes). 16M events over 1.6M urls with
 # ~100B html payloads, zstd-compressed shards ≈ the 10^10-event design point
 # at ~1e-3 scale with realistic lake codecs.
-GEN = dict(n_urls=800_000, n_events=8_000_000, n_shards=64, txn_size=4,
+GEN = dict(n_urls=1_600_000, n_events=16_000_000, n_shards=64, txn_size=4,
            zipf_s=1.1, html_mean=96, seed=42)
 BENCH_DATA = "/tmp/dataxray_bench/data"
 BENCH_LAKE = "/tmp/dataxray_bench/lake"
@@ -166,10 +166,15 @@ def scaling() -> None:
     results = {}
     for ncpu in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
-        out = subprocess.run([sys.executable, "bench.py", "--headline-only"],
-                             env=env, capture_output=True, text=True, check=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
-        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(2):  # fresh-process best-of-2: VM noise is +-30%
+            out = subprocess.run([sys.executable, "bench.py", "--headline-only"],
+                                 env=env, capture_output=True, text=True, check=True,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        results[ncpu] = best
     thr8 = results[8]["events_per_sec"]
     thr32 = results[32]["events_per_sec"]
     print(json.dumps({

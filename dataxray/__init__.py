@@ -21,3 +21,22 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# --- intra-op thread capping -------------------------------------------------
+# Ray schedules one task per CPU, but pyarrow and polars each default their
+# internal pools to os.cpu_count() PER WORKER PROCESS: 32 concurrent tasks x
+# 32 threads = ~1000 runnable threads during parquet decode / hashing, which
+# measured as 2-5x wall-time swings run to run. Tasks are the parallelism
+# unit here, so intra-op pools get capped small. setdefault keeps user
+# overrides; POLARS_MAX_THREADS must be set before polars is first imported.
+import os as _os
+
+_os.environ.setdefault("POLARS_MAX_THREADS", "2")
+try:
+    import pyarrow as _pa
+
+    if _pa.cpu_count() > 4:
+        _pa.set_cpu_count(2)
+        _pa.set_io_thread_count(2)
+except Exception:  # pragma: no cover
+    pass
