@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join_segments": R.broadcast_join_segments,
         "hash_join_order_rows": R.hash_join_order_rows,
         "window_tumbling": R.window_tumbling,
+        "session_windows": R.session_windows,
+        "topk_per_group": R.topk_per_group,
+        "distinct_langs": R.distinct_langs,
         # --- training-data ops (SQL-checkable) ---
         "dedup_exact_groups": R.dedup_exact_groups,
         "token_stats": R.token_stats,
@@ -145,6 +148,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_c "
             "FROM events GROUP BY 1, 2"
         ),
+        "session_windows": (
+            "WITH d AS (SELECT user_id, event_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, CAST(sum(new_sess) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM d) "
+            "SELECT user_id, session_id, count(*) AS n_events, "
+            "min(ts) AS session_start, max(ts) AS session_end "
+            "FROM s GROUP BY 1, 2"
+        ),
+        "topk_per_group": (
+            "WITH t AS (SELECT o_orderkey, c_mktsegment, "
+            "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c, "
+            "CAST(row_number() OVER (PARTITION BY c_mktsegment "
+            "ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC, o_orderkey) "
+            "AS BIGINT) AS rank "
+            "FROM orders JOIN customer ON o_custkey = c_custkey) "
+            "SELECT o_orderkey, c_mktsegment, price_c, rank FROM t WHERE rank <= 3"
+        ),
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "dedup_exact_groups": (
             "SELECT md5(text) AS content_key, min(doc_id) AS keep_id, "
             "count(*) AS n_dups FROM documents GROUP BY 1"

@@ -124,6 +124,37 @@ def _reader_stream(param: dict, channels: int):
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=1), slices
 
 
+def _reader_json(param: dict, channels: int):
+    import ray.data
+
+    paths = param["path"] if isinstance(param["path"], list) else [param["path"]]
+    files = []
+    for p in paths:
+        files.extend(sorted(globmod.glob(p)) if any(c in p for c in "*?[") else [p])
+    return ray.data.read_json(files), len(files)
+
+
+def _reader_orc(param: dict, channels: int):
+    """ORC source (hdfsreader ORC mode analog). Ray 2.49 has no read_orc;
+    files decode via pyarrow.orc inside read tasks — one task per file, like
+    the reference's one-split-per-file HdfsReader (HdfsReader.java:176-226)."""
+    import ray.data
+
+    paths = param["path"] if isinstance(param["path"], list) else [param["path"]]
+    files = []
+    for p in paths:
+        files.extend(sorted(globmod.glob(p)) if any(c in p for c in "*?[") else [p])
+
+    def load(batch: pa.Table) -> pa.Table:
+        import pyarrow.orc as orc
+
+        tables = [orc.ORCFile(f).read() for f in batch["path"].to_pylist()]
+        return pa.concat_tables(tables, promote_options="permissive")
+
+    ds = ray.data.from_items([{"path": f} for f in files])
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=1), len(files)
+
+
 def _reader_wal(param: dict, channels: int):
     from .sources import wal
 
@@ -138,6 +169,8 @@ READERS = {
     "csvreader": _reader_csv,
     "txtfilereader": _reader_csv,
     "streamreader": _reader_stream,
+    "jsonreader": _reader_json,
+    "orcreader": _reader_orc,
     "walreader": _reader_wal,
 }
 
@@ -181,12 +214,10 @@ def _writer_stream(ds, param: dict) -> dict:
 
 
 def _writer_lake(ds, param: dict) -> dict:
-    """Exactly-once CDC lake sink: the dataset must be change-events shaped;
-    runs the full url-hash LWW replay commit path."""
-    raise NotImplementedError(
-        "use walreader + pipelines.replay.replay() for CDC jobs; "
-        "lakewriter as a generic sink lands in a later round"
-    )
+    """Exactly-once CDC lake sink — handled as a whole-pipeline special case
+    in run_job (replay() owns source pruning + shuffle + commit); reaching
+    this function means the job didn't pair it with walreader."""
+    raise ValueError("lakewriter requires reader walreader (a CDC job)")
 
 
 WRITERS = {
@@ -265,6 +296,37 @@ def run_job(job: dict, dry_run: bool = False) -> dict:
         if wname not in WRITERS:
             raise KeyError(f"unknown writer {wname!r}; have {sorted(WRITERS)}")
         t0 = time.perf_counter()
+
+        if wname == "lakewriter" and rname == "walreader":
+            # whole-pipeline CDC job: replay() owns pruning/shuffle/commit
+            from .pipelines.replay import ReplayConfig, replay as run_replay
+
+            rp = content["reader"].get("parameter", {})
+            wp = content["writer"].get("parameter", {})
+            if dry_run:
+                reports.append({"reader": rname, "writer": wname,
+                                "lake": wp["path"], "dryRun": True})
+                continue
+            rep = run_replay(
+                rp["path"], wp["path"], pages_path=rp.get("pagesPath"),
+                cfg=ReplayConfig(
+                    num_partitions=int(wp.get("numPartitions", 32)),
+                    num_salts=int(wp.get("numSalts", 0)),
+                    dirty_dir=wp.get("dirtyDir"),
+                    error_limit=error_limit,
+                ),
+            )
+            reports.append({
+                "reader": rname, "writer": wname, "lake": wp["path"],
+                "partitionsCommitted": rep.partitions_committed,
+                "partitionsSkipped": rep.partitions_skipped,
+                "txnHi": rep.txn_hi,
+                "writeSucceedRecords": rep.write_succeed_records,
+                "totalErrorRecords": rep.total_error_records,
+                "recordSpeed": round(rep.record_speed, 1),
+                "elapsedSec": round(time.perf_counter() - t0, 3),
+            })
+            continue
         ds, n_splits = READERS[rname](content["reader"].get("parameter", {}), channels)
 
         if dry_run:  # preCheck: plan only (JobContainer.java:103-106,182-279)

@@ -407,6 +407,76 @@ def window_tumbling(sf_dir: str):
     )
 
 
+def session_windows(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user over the bounded
+    event log — the map_groups-over-sorted-group pattern for stream-shaped
+    workloads (ray_guide 'Streaming-shaped workloads'; ordering restored per
+    key inside the group, as the reference restores per-shard order)."""
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_id", "ts", "value"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sess = gap.cumsum() + 1  # first row: diff NaT -> False -> session 1
+        out = g.assign(session_id=sess).groupby("session_id", as_index=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "count"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_id", "n_events", "session_start", "session_end"]]
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def topk_per_group(sf_dir: str):
+    """Top-3 orders by price per market segment (grouped top-k via
+    map_groups sort+head; ties broken by orderkey)."""
+    import ray.data
+
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    import ray
+
+    ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+
+    def tag(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lk = _ray.get(ref)
+        seg = pa.array([lk.get(int(k)) for k in
+                        t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)],
+                       pa.string())
+        t = t.append_column("c_mktsegment", seg)
+        t = t.append_column("price_c", _as_scaled_int(t["o_totalprice"], 100))
+        return t.drop_columns(["o_totalprice", "o_custkey"])
+
+    def topk(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("price_c", "descending"), ("o_orderkey", "ascending")]).slice(0, 3)
+        rank = pa.array(np.arange(1, len(g) + 1, dtype=np.int64))
+        return g.append_column("rank", rank)
+
+    return (orders.map_batches(tag, batch_format="pyarrow")
+            .groupby("c_mktsegment").map_groups(topk, batch_format="pyarrow"))
+
+
+def distinct_langs(sf_dir: str):
+    """Distinct values (ds.unique analog — a shuffle-backed set op)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang"])
+    vals = sorted(ds.unique("lang"))
+    return pa.table({"lang": pa.array(vals, pa.string())})
+
+
 # ---------------------------------------------------------------------------
 # training-data ops with SQL oracles
 # ---------------------------------------------------------------------------

@@ -1,0 +1,55 @@
+"""CLI coverage: lakewriter CDC job, json/orc readers."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from dataxray.cli import run_job
+from dataxray.gen import GenConfig, write_dataset
+from dataxray.state.manifest import Lake
+
+
+def test_lakewriter_cdc_job(tmp_path):
+    d = str(tmp_path / "data")
+    cfg = GenConfig(n_urls=100, n_events=1_000, n_shards=2, html_mean=16)
+    write_dataset(d, cfg, parallel=False)
+    lake = str(tmp_path / "lake")
+    job = {"job": {"content": [{
+        "reader": {"name": "walreader", "parameter": {"path": os.path.join(d, "events")}},
+        "writer": {"name": "lakewriter", "parameter": {
+            "path": lake, "pagesPath": os.path.join(d, "pages.parquet"),
+            "numPartitions": 4}},
+    }]}}
+    rep = run_job(job)
+    c = rep["content"][0]
+    assert c["partitionsCommitted"] == 4 and c["txnHi"] > 0
+    assert Lake(lake).read_all().num_rows == c["writeSucceedRecords"]
+    # rerun: exactly-once no-op
+    rep2 = run_job(job)
+    assert rep2["content"][0]["partitionsCommitted"] == 0
+
+
+def test_json_and_orc_readers(tmp_path):
+    jpath = str(tmp_path / "in.json")
+    with open(jpath, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"a": i, "b": f"s{i}"}) + "\n")
+    rep = run_job({"job": {"content": [{
+        "reader": {"name": "jsonreader", "parameter": {"path": jpath}},
+        "writer": {"name": "streamwriter", "parameter": {}},
+    }]}})
+    assert rep["content"][0]["rows"] == 5
+
+    import pyarrow.orc as orc
+
+    opath = str(tmp_path / "in.orc")
+    orc.write_table(pa.table({"x": list(range(7))}), opath)
+    rep = run_job({"job": {"content": [{
+        "reader": {"name": "orcreader", "parameter": {"path": opath}},
+        "writer": {"name": "parquetwriter", "parameter": {
+            "path": str(tmp_path / "out"), "writeMode": "truncate"}},
+    }]}})
+    files = [str(p) for p in (tmp_path / "out").glob("*.parquet")]
+    assert sum(pq.read_metadata(f).num_rows for f in files) == 7
