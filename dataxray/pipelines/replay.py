@@ -43,6 +43,8 @@ from ..state.manifest import Lake
 class ReplayConfig:
     num_partitions: int = 32
     num_salts: int = 0  # >1 enables the salted two-stage merge
+    auto_salt: bool = False  # salt only detected heavy-hitter urls
+    hot_frac: float = 0.01  # per-batch hot threshold for auto_salt
     batch_size: int | None = 32_768
     error_limit: ErrorLimit = ErrorLimit()
     dirty_dir: str | None = None
@@ -157,7 +159,8 @@ def replay(
         ds = s if ds is None else ds.union(s)
 
     ds = ds.map_batches(
-        AssignPartition(cfg.num_partitions, cfg.num_salts),
+        AssignPartition(cfg.num_partitions, cfg.num_salts,
+                        auto_salt=cfg.auto_salt, hot_frac=cfg.hot_frac),
         batch_format="pyarrow", batch_size=cfg.batch_size,
     )
     ds = ds.map_batches(BatchCombiner(), batch_format="pyarrow", batch_size=cfg.batch_size)

@@ -24,15 +24,38 @@ from ..errors import write_dirty
 from ..schema import OP_DELETE, OP_INSERT, OP_UPDATE
 
 
-def valid_mask(batch: pa.Table) -> pa.Array:
-    url_ok = pc.and_(batch["url"].is_valid(), pc.not_equal(batch["url"], ""))
-    op_ok = pc.is_in(batch["op"], value_set=pa.array([OP_INSERT, OP_UPDATE, OP_DELETE]))
-    txn_ok = pc.and_(batch["txn_id"].is_valid(), pc.greater_equal(batch["txn_id"], 0))
-    mask = pc.and_(pc.and_(url_ok, op_ok), txn_ok)
+def _rules(batch: pa.Table) -> list[tuple[str, pa.Array]]:
+    """(reason, ok_mask) per validation rule, all vectorized."""
+    rules = [
+        ("null_or_empty_url",
+         pc.and_(batch["url"].is_valid(), pc.not_equal(batch["url"], ""))),
+        ("bad_op",
+         pc.is_in(batch["op"], value_set=pa.array([OP_INSERT, OP_UPDATE, OP_DELETE]))),
+        ("txn_regression",
+         pc.and_(batch["txn_id"].is_valid(), pc.greater_equal(batch["txn_id"], 0))),
+    ]
     if "text" in batch.column_names:
-        payload_ok = pc.or_(pc.equal(batch["op"], OP_DELETE), batch["text"].is_valid())
-        mask = pc.and_(mask, pc.fill_null(payload_ok, False))
-    return pc.fill_null(mask, False)
+        rules.append((
+            "null_payload",
+            pc.or_(pc.equal(batch["op"], OP_DELETE), batch["text"].is_valid()),
+        ))
+    return [(r, pc.fill_null(m, False)) for r, m in rules]
+
+
+def valid_mask(batch: pa.Table) -> pa.Array:
+    mask = None
+    for _, ok in _rules(batch):
+        mask = ok if mask is None else pc.and_(mask, ok)
+    return mask
+
+
+def dirty_reasons(batch: pa.Table) -> pa.Array:
+    """First failing rule per row (the reference attaches an error message to
+    every dirty record, TaskPluginCollector.collectDirtyRecord)."""
+    reason = pa.nulls(len(batch), pa.string())
+    for name, ok in reversed(_rules(batch)):
+        reason = pc.if_else(ok, reason, pa.scalar(name, pa.string()))
+    return reason
 
 
 class Validate:
@@ -51,5 +74,8 @@ class Validate:
         if pc.all(mask).as_py() in (True, None):
             return batch
         if self.dirty_dir is not None:
-            write_dirty(self.dirty_dir, batch.filter(pc.invert(mask)))
+            bad = batch.filter(pc.invert(mask))
+            bad = bad.append_column("_dirty_reason",
+                                    dirty_reasons(batch).filter(pc.invert(mask)))
+            write_dirty(self.dirty_dir, bad)
         return batch.filter(mask)

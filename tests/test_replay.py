@@ -140,3 +140,33 @@ def test_error_budget_enforced(tmp_path):
     import glob
     n = sum(pq.read_metadata(p).num_rows for p in glob.glob(os.path.join(dirty2, "*.parquet")))
     assert n == rep.total_error_records
+
+
+def test_auto_salted_path_identical_output(data_dir, oracle_df, tmp_path):
+    """Heavy-hitter auto-salting must not change results (stage B re-reduces
+    per url, so per-batch salting decisions are correctness-neutral)."""
+    lake = str(tmp_path / "lake_autosalt")
+    replay(os.path.join(data_dir, "events"), lake,
+           pages_path=os.path.join(data_dir, "pages.parquet"),
+           cfg=ReplayConfig(num_partitions=8, num_salts=4, auto_salt=True,
+                            hot_frac=0.005))
+    assert_matches_oracle(lake, oracle_df)
+
+
+def test_dirty_rows_carry_reasons(tmp_path):
+    import glob
+
+    cfg = GenConfig(n_urls=50, n_events=500, n_shards=1, dirty_frac=0.2, html_mean=16)
+    d = str(tmp_path / "dd")
+    write_dataset(d, cfg, parallel=False)
+    lake = str(tmp_path / "lake")
+    dirty = str(tmp_path / "dirty")
+    replay(os.path.join(d, "events"), lake,
+           cfg=ReplayConfig(num_partitions=2, dirty_dir=dirty,
+                            error_limit=ErrorLimit(percentage=0.9)))
+    files = glob.glob(dirty + "/*.parquet")
+    assert files
+    t = pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
+    reasons = set(t["_dirty_reason"].to_pylist())
+    assert reasons <= {"null_or_empty_url", "bad_op", "txn_regression", "null_payload"}
+    assert len(reasons) >= 2
