@@ -337,9 +337,25 @@ def run_job(job: dict, dry_run: bool = False) -> dict:
             continue
 
         dirty_dir = None
+        # reader-level column casts (the plugin `column` type/format surface:
+        # readers declare target types, ColumnCast parses — casts.py)
+        cast_spec = content["reader"].get("parameter", {}).get("cast")
+        if cast_spec:
+            from .functions.casts import CastColumns, CastConfig
+
+            cc = content["reader"]["parameter"].get("castConfig", {})
+            dirty_dir = os.path.join("/tmp", "dataxray_cli_dirty", f"{time.time_ns()}")
+            ds = ds.map_batches(
+                CastColumns(cast_spec,
+                            CastConfig(**{k: tuple(v) if k == "extra_formats" else v
+                                          for k, v in cc.items()}),
+                            dirty_dir=dirty_dir),
+                batch_format="pyarrow",
+            )
         specs = content.get("transformer", [])
         if specs:
-            dirty_dir = os.path.join("/tmp", "dataxray_cli_dirty", f"{time.time_ns()}")
+            if dirty_dir is None:
+                dirty_dir = os.path.join("/tmp", "dataxray_cli_dirty", f"{time.time_ns()}")
             chain = build_chain(
                 [{"name": s["name"], "parameters": s.get("parameter", {})} for s in specs]
             )

@@ -35,6 +35,9 @@ RANGE_SPLITS = 8
 def _rd():
     import ray.data
 
+    from .replay import _tune_read_parallelism
+
+    _tune_read_parallelism()
     return ray.data
 
 
@@ -256,11 +259,10 @@ def range_split_orders(sf_dir: str):
     """Primary-key range split planner (RangeSplitUtil.doBigIntegerSplit /
     SingleTableSplitUtil analog): assign each row to one of N even key
     ranges, report per-range row counts and key bounds."""
-    import ray.data
     from ray.data.aggregate import Count, Max, Min
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                               columns=["o_orderkey"])
+    ds = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_orderkey"])
     stats = ds.aggregate(Min("o_orderkey"), Max("o_orderkey"))
     lo, hi = stats["min(o_orderkey)"], stats["max(o_orderkey)"]
     span = hi - lo + 1
@@ -297,10 +299,9 @@ def agg_pricing_summary(sf_dir: str):
     emits one row per key, then the small groupby reduces partials (the
     combine-before-shuffle pattern). Monetary sums are exact fixed-point
     (cents / 1e-4) so they hash identically to the SQL oracle."""
-    import ray.data
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    ds = _rd().read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -328,7 +329,6 @@ def broadcast_join_segments(sf_dir: str):
     """orders ⋈ customer with the small side broadcast (ray.put once, dict
     lookup per batch) — no shuffle join; then pre-aggregated groupby."""
     import ray
-    import ray.data
     from ray.data.aggregate import Sum
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
@@ -336,8 +336,8 @@ def broadcast_join_segments(sf_dir: str):
     lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
                                   cust["c_mktsegment"].to_pylist())))
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                               columns=["o_custkey", "o_totalprice"])
+    ds = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_custkey", "o_totalprice"])
 
     class JoinAndCombine:
         def __init__(self):
@@ -365,12 +365,10 @@ def hash_join_order_rows(sf_dir: str):
     """Large×large hash-partitioned join (Dataset.join, both sides shuffled
     on the key) — the non-broadcast complement to broadcast_join_segments.
     Row-level output so the join itself is what's checked."""
-    import ray.data
-
-    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                                 columns=["c_custkey", "c_mktsegment"])
+    orders = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _rd().read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                              columns=["c_custkey", "c_mktsegment"])
     joined = orders.join(cust, join_type="inner", num_partitions=16,
                          on=("o_custkey",), right_on=("c_custkey",))
     out = joined.map_batches(
@@ -384,11 +382,10 @@ def hash_join_order_rows(sf_dir: str):
 def window_tumbling(sf_dir: str):
     """Tumbling 1h event-time window per user (streaming-window analog over
     the bounded log; SURVEY.md §2.4 'bounded replays of a time window')."""
-    import ray.data
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["user_id", "ts", "value"])
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.append_column("window_start", pc.floor_temporal(t["ts"], unit="hour"))
@@ -413,10 +410,9 @@ def session_windows(sf_dir: str):
     workloads (ray_guide 'Streaming-shaped workloads'; ordering restored per
     key inside the group, as the reference restores per-shard order)."""
     import pandas as pd
-    import ray.data
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["user_id", "event_id", "ts", "value"])
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "event_id", "ts", "value"])
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="stable")
@@ -437,10 +433,8 @@ def session_windows(sf_dir: str):
 def topk_per_group(sf_dir: str):
     """Top-3 orders by price per market segment (grouped top-k via
     map_groups sort+head; ties broken by orderkey)."""
-    import ray.data
-
-    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                columns=["o_orderkey", "o_custkey", "o_totalprice"])
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_mktsegment"])
     import ray
@@ -469,10 +463,8 @@ def topk_per_group(sf_dir: str):
 
 def distinct_langs(sf_dir: str):
     """Distinct values (ds.unique analog — a shuffle-backed set op)."""
-    import ray.data
-
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["lang"])
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["lang"])
     vals = sorted(ds.unique("lang"))
     return pa.table({"lang": pa.array(vals, pa.string())})
 

@@ -106,3 +106,29 @@ def test_rate_limit_slows_job(tmp_path):
     rep = run_job(job)
     assert rep["content"][0]["rows"] == 400
     assert time.perf_counter() - t0 >= 0.8  # 400 rows at 400/s ≈ 1s floor
+
+
+def test_reader_level_casts(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import glob
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(pa.table({
+        "k": ["1", "2", "oops"],
+        "when": ["2024-05-05", "2024-05-06 07:08:09", "2024-05-07"],
+    }), src)
+    out = str(tmp_path / "casted")
+    job = {"job": {
+        "setting": {"errorLimit": {"percentage": 0.5}},
+        "content": [{
+            "reader": {"name": "parquetreader", "parameter": {
+                "path": src, "cast": {"k": "long", "when": "date"}}},
+            "writer": {"name": "parquetwriter", "parameter": {"path": out, "writeMode": "truncate"}},
+        }]}}
+    rep = run_job(job)
+    files = glob.glob(out + "/*.parquet")
+    t = pq.read_table(files)
+    assert t.schema.field("k").type == pa.int64()
+    assert str(t.schema.field("when").type).startswith("timestamp")
+    assert t.num_rows == 2 and rep["content"][0]["totalErrorRecords"] == 1
