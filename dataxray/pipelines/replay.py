@@ -46,6 +46,7 @@ class ReplayConfig:
     auto_salt: bool = False  # salt only detected heavy-hitter urls
     hot_frac: float = 0.01  # per-batch hot threshold for auto_salt
     batch_size: int | None = 32_768
+    exchange: str = "sort"  # "sort" = Ray groupby shuffle; "direct" = raw-task hash exchange (stages/exchange.py)
     error_limit: ErrorLimit = ErrorLimit()
     dirty_dir: str | None = None
 
@@ -62,6 +63,30 @@ def _tune_read_parallelism() -> None:
     if ctx.read_op_min_num_blocks == 200 and ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
         ctx.read_op_min_num_blocks = max(16, cpus * 2)
+
+
+def _merge_tables(p: int, tables: list[pa.Table], lake_root: str, run_id: str,
+                  wm: dict, target: pa.Schema) -> dict:
+    """Per-partition final merge used by both exchange paths: filter by the
+    partition watermark, fold in current state, LWW-reduce, stage the new
+    state file, return small commit metadata."""
+    events = tables[0] if len(tables) == 1 else pa.concat_tables(
+        tables, promote_options="permissive"
+    )
+    # -1 = virgin partition: even txn 0 (base-page bootstrap) is unapplied
+    watermark = wm.get(p, -1)
+    events = events.filter(pc.greater(events["txn_id"], watermark))
+    if len(events) == 0:
+        return {"partition": p, "txn_hi": watermark, "staged": [],
+                "row_count": 0, "num_bytes": 0, "noop": True}
+    part_lake = Lake(lake_root)
+    state = part_lake.read_state(p)
+    merged = merge_partition(events, state, target, watermark)
+    txn_hi = max(watermark, pc.max(events["txn_id"]).as_py())
+    meta = part_lake.write_staged(run_id, p, merged)
+    return {"partition": p, "txn_hi": txn_hi, "staged": meta["staged"],
+            "row_count": meta["row_count"], "num_bytes": meta["num_bytes"],
+            "noop": False}
 
 
 def _pages_as_events(pages_ds, target: pa.Schema):
@@ -173,38 +198,30 @@ def replay(
         ds = ds.drop_columns([SALT_COL])
 
     lake_root, wm, tgt = lake.root, dict(watermarks), target
+    merge_kwargs = dict(lake_root=lake_root, run_id=run_id, wm=wm, target=tgt)
 
-    def merge_and_stage(group: pa.Table) -> pa.Table:
-        """Per-partition final merge; writes new state to staging, emits one
-        metadata row. Runs distributed; only metadata returns to the driver."""
-        p = group[PART_COL][0].as_py()
-        events = group.drop_columns([PART_COL])
-        # -1 = virgin partition: even txn 0 (base-page bootstrap) is unapplied
-        watermark = wm.get(p, -1)
-        events = events.filter(pc.greater(events["txn_id"], watermark))
-        if len(events) == 0:
+    if cfg.exchange == "direct":
+        from ..stages.exchange import direct_exchange
+
+        meta_rows = direct_exchange(ds, cfg.num_partitions, _merge_tables, merge_kwargs)
+    else:
+        def merge_and_stage(group: pa.Table) -> pa.Table:
+            """Per-partition final merge; writes new state to staging, emits
+            one metadata row. Runs distributed; only metadata returns."""
+            p = group[PART_COL][0].as_py()
+            m = _merge_tables(p, [group.drop_columns([PART_COL])], **merge_kwargs)
             return pa.table(
-                {"partition": pa.array([p], pa.int32()), "txn_hi": pa.array([watermark]),
-                 "staged": pa.array([[]], pa.list_(pa.string())),
-                 "row_count": pa.array([0]), "num_bytes": pa.array([0]),
-                 "noop": pa.array([True])}
+                {"partition": pa.array([m["partition"]], pa.int32()),
+                 "txn_hi": pa.array([m["txn_hi"]]),
+                 "staged": pa.array([m["staged"]], pa.list_(pa.string())),
+                 "row_count": pa.array([m["row_count"]]),
+                 "num_bytes": pa.array([m["num_bytes"]]),
+                 "noop": pa.array([m["noop"]])}
             )
-        part_lake = Lake(lake_root)
-        state = part_lake.read_state(p)
-        merged = merge_partition(events, state, tgt, watermark)
-        txn_hi = max(watermark, pc.max(events["txn_id"]).as_py())
-        meta = part_lake.write_staged(run_id, p, merged)
-        return pa.table(
-            {"partition": pa.array([p], pa.int32()), "txn_hi": pa.array([txn_hi]),
-             "staged": pa.array([meta["staged"]], pa.list_(pa.string())),
-             "row_count": pa.array([meta["row_count"]]),
-             "num_bytes": pa.array([meta["num_bytes"]]),
-             "noop": pa.array([False])}
-        )
 
-    meta_rows = ds.groupby(PART_COL).map_groups(
-        merge_and_stage, batch_format="pyarrow"
-    ).take_all()
+        meta_rows = ds.groupby(PART_COL).map_groups(
+            merge_and_stage, batch_format="pyarrow"
+        ).take_all()
 
     # ---- error budget (before commit: a failed budget aborts cleanly) ----
     n_dirty = 0

@@ -1,0 +1,73 @@
+"""Direct hash exchange — a two-phase partition/merge shuffle on raw Ray
+tasks, bypassing the generic sort-based groupby.
+
+Why it exists: Ray Data's ``groupby(key)`` is a general sort shuffle —
+boundary sampling, per-block sorts, range partitioning. Our merge key is a
+*precomputed integer partition id in [0, P)*, so none of that machinery is
+needed: map side splits each block by ``_part`` (one key-only sort of int32
+codes, then P zero-copy slices), reduce side concatenates its P-th slices
+and runs the LWW merge. This is the documented "(c) raw Ray tasks" escape
+hatch (driver brief): the partitioning assumption is exactly ``_part =
+hash(url) % P`` assigned upstream by AssignPartition.
+
+Phase overlap: split tasks are submitted as map blocks materialize; merge
+tasks start as soon as all splits land (the all-to-all barrier is inherent
+to any shuffle). Objects flow through the local plasma store (shared
+memory) — on a multi-node cluster the same code moves slices over the
+network via Ray's object transfer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..schema import PART_COL
+
+
+def split_by_part(block: pa.Table, num_partitions: int) -> list[pa.Table]:
+    """Key-only split: argsort the int32 _part codes, take once, slice P
+    contiguous ranges (payload copied once, never sorted per partition)."""
+    codes = block[PART_COL].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(codes, kind="stable")
+    sorted_block = block.take(pa.array(order)).drop_columns([PART_COL])
+    sorted_codes = codes[order]
+    bounds = np.searchsorted(sorted_codes, np.arange(num_partitions + 1))
+    return [
+        sorted_block.slice(bounds[p], bounds[p + 1] - bounds[p])
+        for p in range(num_partitions)
+    ]
+
+
+def direct_exchange(ds, num_partitions: int, merge_fn, merge_kwargs: dict):
+    """Run the partition exchange + per-partition merge with raw Ray tasks.
+
+    ``merge_fn(p, tables, **merge_kwargs)`` runs remotely once per non-empty
+    partition and returns a small metadata dict. Returns the list of results.
+    """
+    import ray
+
+    split_remote = ray.remote(num_cpus=1, num_returns=num_partitions)(
+        lambda block, n=num_partitions: tuple(split_by_part(block, n))
+    )
+
+    def _merge(p, kwargs, *tables):
+        parts = [t for t in tables if t is not None and len(t)]
+        if not parts:
+            return None
+        return merge_fn(p, parts, **kwargs)
+
+    merge_remote = ray.remote(num_cpus=1)(_merge)
+
+    block_refs = ds.to_arrow_refs()  # executes the map phase; blocks in plasma
+    per_part: list[list] = [[] for _ in range(num_partitions)]
+    for ref in block_refs:
+        outs = split_remote.remote(ref)
+        if num_partitions == 1:
+            outs = [outs]
+        for p, r in enumerate(outs):
+            per_part[p].append(r)
+    metas = ray.get(
+        [merge_remote.remote(p, merge_kwargs, *per_part[p]) for p in range(num_partitions)]
+    )
+    return [m for m in metas if m is not None]

@@ -170,3 +170,17 @@ def test_dirty_rows_carry_reasons(tmp_path):
     reasons = set(t["_dirty_reason"].to_pylist())
     assert reasons <= {"null_or_empty_url", "bad_op", "txn_regression", "null_payload"}
     assert len(reasons) >= 2
+
+
+def test_direct_exchange_matches_oracle(data_dir, oracle_df, tmp_path):
+    """The raw-task hash exchange must produce identical lake state."""
+    lake = str(tmp_path / "lake_direct")
+    rep = replay(os.path.join(data_dir, "events"), lake,
+                 pages_path=os.path.join(data_dir, "pages.parquet"),
+                 cfg=ReplayConfig(num_partitions=8, exchange="direct"))
+    assert rep.partitions_committed == 8
+    assert_matches_oracle(lake, oracle_df)
+    # incremental no-op on re-delivery through the direct path too
+    rep2 = replay(os.path.join(data_dir, "events"), lake,
+                  cfg=ReplayConfig(num_partitions=8, exchange="direct"))
+    assert rep2.partitions_committed == 0
