@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": R.session_windows,
         "topk_per_group": R.topk_per_group,
         "distinct_langs": R.distinct_langs,
+        "anti_join_inactive_customers": R.anti_join_inactive_customers,
+        "union_all_keys": R.union_all_keys,
+        "global_topk_orders": R.global_topk_orders,
         # --- training-data ops (SQL-checkable) ---
         "dedup_exact_groups": R.dedup_exact_groups,
         "token_stats": R.token_stats,
@@ -170,6 +173,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, c_mktsegment, price_c, rank FROM t WHERE rank <= 3"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "anti_join_inactive_customers": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey NOT IN (SELECT user_id FROM events)"
+        ),
+        "union_all_keys": (
+            "SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS name, "
+            "'nation' AS src FROM nation "
+            "UNION ALL SELECT CAST(r_regionkey AS BIGINT), r_name, 'region' FROM region"
+        ),
+        "global_topk_orders": (
+            "SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c, "
+            "CAST(row_number() OVER (ORDER BY "
+            "CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC, o_orderkey) AS BIGINT) "
+            "AS rank FROM orders ORDER BY price_c DESC, o_orderkey LIMIT 100"
+        ),
         "dedup_exact_groups": (
             "SELECT md5(text) AS content_key, min(doc_id) AS keep_id, "
             "count(*) AS n_dups FROM documents GROUP BY 1"

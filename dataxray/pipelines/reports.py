@@ -461,6 +461,71 @@ def topk_per_group(sf_dir: str):
             .groupby("c_mktsegment").map_groups(topk, batch_format="pyarrow"))
 
 
+def anti_join_inactive_customers(sf_dir: str):
+    """Anti join via broadcast key set (semi/anti pattern from the Ray guide:
+    broadcast the key set — or a Bloom filter of it at scale — and filter
+    inside map_batches, no shuffle): customers with no events."""
+    import ray
+
+    active = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id"])
+    ref = ray.put(set(pc.unique(active["user_id"]).to_pylist()))
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                            columns=["c_custkey", "c_name"])
+
+    class AntiFilter:
+        def __init__(self):
+            import ray as _ray
+
+            self.active = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+            keep = np.fromiter((int(k) not in self.active for k in keys), bool, len(keys))
+            return t.filter(pa.array(keep))
+
+    return ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=2)
+
+
+def union_all_keys(sf_dir: str):
+    """Dataset.union (the set-op surface): one keyed row stream from two
+    tables, tagged by source."""
+    a = _rd().read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    a = a.map_batches(
+        lambda t: pa.table({"key": pc.cast(t["n_nationkey"], pa.int64()),
+                            "name": t["n_name"],
+                            "src": pa.nulls(len(t), pa.string()).fill_null("nation")}),
+        batch_format="pyarrow")
+    b = _rd().read_parquet(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    b = b.map_batches(
+        lambda t: pa.table({"key": pc.cast(t["r_regionkey"], pa.int64()),
+                            "name": t["r_name"],
+                            "src": pa.nulls(len(t), pa.string()).fill_null("region")}),
+        batch_format="pyarrow")
+    return a.union(b)
+
+
+def global_topk_orders(sf_dir: str):
+    """Global sort + limit (ds.sort is an all-to-all range sort; the small
+    result gets ranks on the driver)."""
+    ds = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_orderkey", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("price_c", _as_scaled_int(t["o_totalprice"], 100))
+        .drop_columns(["o_totalprice"]),
+        batch_format="pyarrow")
+    top = ds.sort(["price_c", "o_orderkey"], descending=[True, False]).limit(100)
+    rows = top.take_all()
+    return pa.table({
+        "o_orderkey": pa.array([r["o_orderkey"] for r in rows], pa.int64()),
+        "price_c": pa.array([r["price_c"] for r in rows], pa.int64()),
+        "rank": pa.array(np.arange(1, len(rows) + 1, dtype=np.int64)),
+    })
+
+
 def distinct_langs(sf_dir: str):
     """Distinct values (ds.unique analog — a shuffle-backed set op)."""
     ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
