@@ -47,6 +47,8 @@ class ReplayConfig:
     hot_frac: float = 0.01  # per-batch hot threshold for auto_salt
     batch_size: int | None = 32_768
     exchange: str = "sort"  # "sort" = Ray groupby shuffle; "direct" = raw-task hash exchange (stages/exchange.py)
+    sink_mode: str = "rewrite"  # "delta": append per-epoch LWW winners, resolve on read
+    compact_threshold: int = 8  # delta files per partition before auto-compaction
     error_limit: ErrorLimit = ErrorLimit()
     dirty_dir: str | None = None
 
@@ -66,10 +68,17 @@ def _tune_read_parallelism() -> None:
 
 
 def _merge_tables(p: int, tables: list[pa.Table], lake_root: str, run_id: str,
-                  wm: dict, target: pa.Schema) -> dict:
+                  wm: dict, target: pa.Schema, sink_mode: str = "rewrite",
+                  compact_threshold: int = 8) -> dict:
     """Per-partition final merge used by both exchange paths: filter by the
-    partition watermark, fold in current state, LWW-reduce, stage the new
-    state file, return small commit metadata."""
+    partition watermark, stage new state, return small commit metadata.
+
+    sink_mode="rewrite": fold in current state, produce the resolved
+    partition (one base file). sink_mode="delta": write ONLY this epoch's
+    LWW winners (tombstones included) as an appended delta — the state is
+    never read, so an epoch touching k rows costs O(k), not O(partition);
+    when the partition accumulates compact_threshold deltas the task
+    compacts (full merge + rewrite) instead."""
     events = tables[0] if len(tables) == 1 else pa.concat_tables(
         tables, promote_options="permissive"
     )
@@ -78,15 +87,26 @@ def _merge_tables(p: int, tables: list[pa.Table], lake_root: str, run_id: str,
     events = events.filter(pc.greater(events["txn_id"], watermark))
     if len(events) == 0:
         return {"partition": p, "txn_hi": watermark, "staged": [],
-                "row_count": 0, "num_bytes": 0, "noop": True}
+                "row_count": 0, "num_bytes": 0, "noop": True, "mode": "none"}
     part_lake = Lake(lake_root)
-    state = part_lake.read_state(p)
-    merged = merge_partition(events, state, target, watermark)
     txn_hi = max(watermark, pc.max(events["txn_id"]).as_py())
+    manifest = part_lake.manifest(p)
+    use_delta = (
+        sink_mode == "delta"
+        and manifest is not None  # first write of a partition is its base
+        and manifest.get("n_deltas", 0) + 1 < compact_threshold
+    )
+    if use_delta:
+        merged = lww_reduce(events)  # winners incl. tombstones, op kept
+        mode = "delta"
+    else:
+        state = part_lake.read_state(p)
+        merged = merge_partition(events, state, target, watermark)
+        mode = "rewrite"
     meta = part_lake.write_staged(run_id, p, merged)
     return {"partition": p, "txn_hi": txn_hi, "staged": meta["staged"],
             "row_count": meta["row_count"], "num_bytes": meta["num_bytes"],
-            "noop": False}
+            "noop": False, "mode": mode}
 
 
 def _pages_as_events(pages_ds, target: pa.Schema):
@@ -198,7 +218,9 @@ def replay(
         ds = ds.drop_columns([SALT_COL])
 
     lake_root, wm, tgt = lake.root, dict(watermarks), target
-    merge_kwargs = dict(lake_root=lake_root, run_id=run_id, wm=wm, target=tgt)
+    merge_kwargs = dict(lake_root=lake_root, run_id=run_id, wm=wm, target=tgt,
+                        sink_mode=cfg.sink_mode,
+                        compact_threshold=cfg.compact_threshold)
 
     if cfg.exchange == "direct":
         from ..stages.exchange import direct_exchange
@@ -216,7 +238,8 @@ def replay(
                  "staged": pa.array([m["staged"]], pa.list_(pa.string())),
                  "row_count": pa.array([m["row_count"]]),
                  "num_bytes": pa.array([m["num_bytes"]]),
-                 "noop": pa.array([m["noop"]])}
+                 "noop": pa.array([m["noop"]]),
+                 "mode": pa.array([m["mode"]])}
             )
 
         meta_rows = ds.groupby(PART_COL).map_groups(
@@ -237,6 +260,7 @@ def replay(
         status = lake.commit(
             int(m["partition"]), int(m["txn_hi"]), list(m["staged"]),
             int(m["row_count"]), int(m["num_bytes"]), run_id,
+            mode=str(m["mode"]),
         )
         if status == "committed":
             report.partitions_committed += 1

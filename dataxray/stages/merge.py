@@ -77,11 +77,26 @@ class BatchCombiner:
 
 
 def state_as_events(state: pa.Table) -> pa.Table:
-    """Lift materialized lake rows back into the event stream (op='I' at their
-    recorded (txn_id, seq) lineage) so incremental merge is just another LWW
-    reduce over events ∪ state."""
+    """Lift lake rows back into the event stream at their recorded
+    (txn_id, seq) lineage so incremental merge is just another LWW reduce
+    over events ∪ state. Base files have no op column (live rows → 'I');
+    delta files carry op already, including 'D' tombstones that must keep
+    masking older base rows."""
+    if "op" in state.column_names:
+        op = state["op"].combine_chunks().fill_null(OP_INSERT)
+        return state.set_column(state.schema.get_field_index("op"), "op", op)
     op = pa.nulls(len(state), pa.string()).fill_null(OP_INSERT)
     return state.append_column("op", op)
+
+
+def resolve_state(raw: pa.Table, key: str = "url") -> pa.Table:
+    """Materialize a partition from raw base+delta files: LWW over lineage,
+    tombstones dropped, op column removed (delta-file read resolution)."""
+    if "op" not in raw.column_names:
+        return raw  # single resolved base — nothing to do
+    t = state_as_events(raw)
+    t = drop_tombstones(lww_reduce(t, key))
+    return t.drop_columns(["op"])
 
 
 def merge_partition(

@@ -174,7 +174,9 @@ class Lake:
             return []
         return [os.path.join(self.root, f) for f in m["files"]]
 
-    def read_state(self, p: int) -> pa.Table | None:
+    def read_state_raw(self, p: int) -> pa.Table | None:
+        """Concat of base + delta files — may contain superseded rows and
+        tombstones; LWW lineage (txn_id, seq) resolves them."""
         files = self.partition_files(p)
         if not files:
             return None
@@ -182,11 +184,35 @@ class Lake:
             [pq.read_table(f) for f in files], promote_options="permissive"
         )
 
+    # kept as the merge-path API: raw is correct input for an LWW merge
+    read_state = read_state_raw
+
+    def resolve(self, p: int) -> pa.Table | None:
+        """Materialized view of a partition: LWW over base+deltas, tombstones
+        dropped, op column removed (delta-file resolution)."""
+        from ..stages.merge import resolve_state
+
+        raw = self.read_state_raw(p)
+        if raw is None:
+            return None
+        return resolve_state(raw)
+
+    def num_files(self, p: int) -> int:
+        m = self.manifest(p)
+        return len(m["files"]) if m else 0
+
     # ---------- commit ----------
     def commit(
-        self, p: int, txn_hi: int, staged: list[str], row_count: int, num_bytes: int, run_id: str
+        self, p: int, txn_hi: int, staged: list[str], row_count: int,
+        num_bytes: int, run_id: str, mode: str = "rewrite"
     ) -> str:
-        """Atomic label-deduped commit. Returns 'committed' or 'skipped'."""
+        """Atomic label-deduped commit. Returns 'committed' or 'skipped'.
+
+        mode="rewrite": staged files REPLACE the partition (full state or a
+        compaction). mode="delta": staged files APPEND — they hold only this
+        epoch's LWW winners incl. tombstones, resolved against older files at
+        read time (the merge-amplification fix for steady-state epochs: an
+        epoch touching 1% of a partition writes 1%, not 100%)."""
         cur = self.manifest(p)
         if cur is not None and cur["txn_hi"] >= txn_hi:
             for s in staged:  # replayed label → drop the duplicate output
@@ -200,27 +226,35 @@ class Lake:
             dest = os.path.join(final_dir, os.path.basename(s))
             os.replace(s, dest)
             rel_files.append(os.path.relpath(dest, self.root))
+        if mode == "delta" and cur is not None:
+            files = list(cur["files"]) + rel_files
+            n_deltas = cur.get("n_deltas", 0) + 1
+        else:
+            files = rel_files
+            n_deltas = 0
         _atomic_write_json(
             self._manifest_path(p),
             {
                 "partition": p,
                 "txn_hi": txn_hi,
-                "files": rel_files,
+                "files": files,
+                "n_deltas": n_deltas,
                 "row_count": row_count,
                 "num_bytes": num_bytes,
                 "run_id": run_id,
             },
         )
-        self._gc_partition(p, keep_txn=txn_hi)
+        self._gc_partition(p, files)
         return "committed"
 
-    def _gc_partition(self, p: int, keep_txn: int) -> None:
-        """Drop superseded txn dirs (old versions) — best-effort."""
+    def _gc_partition(self, p: int, live_rel_files: list[str]) -> None:
+        """Drop txn dirs no longer referenced by the manifest — best-effort."""
         pdir = os.path.join(self.root, f"part={p:05d}")
         if not os.path.isdir(pdir):
             return
+        live_dirs = {os.path.basename(os.path.dirname(f)) for f in live_rel_files}
         for name in os.listdir(pdir):
-            if name.startswith("txn=") and int(name.split("=")[1]) != keep_txn:
+            if name.startswith("txn=") and name not in live_dirs:
                 shutil.rmtree(os.path.join(pdir, name), ignore_errors=True)
 
     def cleanup_staging(self, run_id: str) -> None:
@@ -234,17 +268,40 @@ class Lake:
         return files
 
     def read_all(self) -> pa.Table:
-        """Whole-lake table (tests / small results only)."""
-        files = self.all_files()
-        if not files:
+        """Whole-lake resolved table (tests / small results only)."""
+        parts = [t for p in sorted(self.watermarks())
+                 if (t := self.resolve(p)) is not None]
+        if not parts:
             return pa.table({})
-        return pa.concat_tables(
-            [pq.read_table(f) for f in files], promote_options="permissive"
-        )
+        return pa.concat_tables(parts, promote_options="permissive")
 
     def dataset(self, **kwargs):
-        """Streaming read of the current lake snapshot as a ray.data.Dataset."""
+        """Distributed read of the current lake snapshot. Partitions with
+        delta files resolve inside one remote task each (partition-local LWW
+        — no shuffle); pure-base partitions stream via read_parquet."""
+        import ray
         import ray.data
 
-        files = self.all_files()
-        return ray.data.read_parquet(files, **kwargs)
+        wm = self.watermarks()
+        delta_parts = [p for p in wm if (self.manifest(p) or {}).get("n_deltas", 0) > 0]
+        base_files = [f for p in sorted(wm) if p not in delta_parts
+                      for f in self.partition_files(p)]
+        pieces = []
+        if base_files:
+            pieces.append(ray.data.read_parquet(base_files, **kwargs))
+        if delta_parts:
+            root = self.root
+
+            @ray.remote(num_cpus=1)
+            def _resolve(p: int):
+                return Lake(root).resolve(p)
+
+            pieces.append(ray.data.from_arrow_refs(
+                [_resolve.remote(p) for p in sorted(delta_parts)]
+            ))
+        if not pieces:
+            return ray.data.from_items([])
+        ds = pieces[0]
+        for extra in pieces[1:]:
+            ds = ds.union(extra)
+        return ds
