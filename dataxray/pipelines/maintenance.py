@@ -1,0 +1,100 @@
+"""Lake maintenance operations: repartitioning and staging GC.
+
+Repartitioning changes the url-hash partition count of an existing lake —
+the one structural change ``replay()`` refuses to do implicitly (a silent
+P change would mis-route every subsequent event). It is a full resolved
+read → re-hash → rewrite into a NEW lake root (never in place: readers of
+the old root stay consistent; cut-over is a path swap, like the
+reference's preSql table-swap pattern, WriterUtil.renderPreOrPostSqls).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pyarrow as pa
+
+from ..hashing import partition_of
+from ..schema import PART_COL
+from ..state.manifest import Lake
+
+
+def repartition_lake(src_root: str, dest_root: str, new_num_partitions: int) -> dict:
+    """Rewrite a lake under a different partition count. Returns summary."""
+    import ray
+
+    src = Lake(src_root)
+    src.validate_partitioner()
+    dest = Lake(dest_root)
+    if dest.exists():
+        raise FileExistsError(f"destination lake {dest_root} already exists")
+    dest.init(new_num_partitions, src.event_schema())
+    run_id = uuid.uuid4().hex[:12]
+    wm = src.watermarks()
+    src_parts = sorted(wm)
+
+    @ray.remote(num_cpus=1, num_returns=new_num_partitions)
+    def split_partition(p: int):
+        t = Lake(src_root).resolve(p)
+        if t is None or len(t) == 0:
+            return tuple(None for _ in range(new_num_partitions))
+        codes = partition_of(t["url"], new_num_partitions)
+        t = t.append_column(PART_COL, pa.array(codes))
+        from ..stages.exchange import split_by_part
+
+        return tuple(split_by_part(t, new_num_partitions))
+
+    @ray.remote(num_cpus=1)
+    def write_partition(p: int, txn_hi: int, *tables):
+        parts = [t for t in tables if t is not None and len(t)]
+        if not parts:
+            return None
+        merged = pa.concat_tables(parts, promote_options="permissive")
+        meta = Lake(dest_root).write_staged(run_id, p, merged)
+        return {"partition": p, "txn_hi": txn_hi, **meta}
+
+    per_new: list[list] = [[] for _ in range(new_num_partitions)]
+    for p in src_parts:
+        outs = split_partition.remote(p)
+        if new_num_partitions == 1:
+            outs = [outs]
+        for q, r in enumerate(outs):
+            per_new[q].append(r)
+    txn_hi = max(wm.values(), default=0)
+    metas = ray.get([
+        write_partition.remote(q, txn_hi, *per_new[q]) for q in range(new_num_partitions)
+    ])
+    committed = 0
+    for m in metas:
+        if m is None:
+            continue
+        if dest.commit(m["partition"], txn_hi, m["staged"], m["row_count"],
+                       m["num_bytes"], run_id) == "committed":
+            committed += 1
+    dest.cleanup_staging(run_id)
+    return {"partitions_committed": committed, "txn_hi": txn_hi,
+            "num_partitions": new_num_partitions}
+
+
+def sweep_staging(lake_root: str, max_age_sec: float = 3600.0) -> int:
+    """Remove orphaned staging dirs left by crashed runs (their commits never
+    landed, so the files are dead weight). Age-gated so a concurrently
+    running replay's staging survives."""
+    import shutil
+
+    staging = os.path.join(lake_root, "_staging")
+    if not os.path.isdir(staging):
+        return 0
+    removed = 0
+    now = time.time()
+    for name in os.listdir(staging):
+        d = os.path.join(staging, name)
+        try:
+            if now - os.path.getmtime(d) > max_age_sec:
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+        except FileNotFoundError:  # pragma: no cover
+            continue
+    return removed

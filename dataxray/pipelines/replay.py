@@ -143,6 +143,9 @@ def replay(
     bootstrap = not lake.exists()
     if not bootstrap:
         lake.validate_partitioner()
+        from .maintenance import sweep_staging
+
+        sweep_staging(lake.root)  # GC orphans from crashed prior runs
         if lake.num_partitions() != cfg.num_partitions:
             raise RuntimeError(
                 f"lake has {lake.num_partitions()} partitions, config asks "
