@@ -1,0 +1,62 @@
+"""Lake inspection CLI: partitions, watermarks, delta depth, rows, bytes,
+recent runs — the operational visibility surface (counters/logStatistics
+analog, JobContainer.logStatistics:538-593).
+
+Usage: python tools/lake_info.py /path/to/lake [--runs N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dataxray.state.manifest import Lake  # noqa: E402
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        sys.exit(2)
+    root = sys.argv[1]
+    lake = Lake(root)
+    if not lake.exists():
+        print(f"no lake at {root}")
+        sys.exit(1)
+    meta = lake.meta()
+    wm = lake.watermarks()
+    print(f"lake: {root}")
+    print(f"partitioner: {meta['partitioner']}  partitions: {meta['num_partitions']}"
+          f"  committed: {len(wm)}")
+    print(f"event schema: {lake.event_schema().names}")
+    total_rows = total_bytes = total_files = total_deltas = 0
+    lo = min(wm.values()) if wm else None
+    hi = max(wm.values()) if wm else None
+    for p in sorted(wm):
+        m = lake.manifest(p)
+        total_rows += m.get("row_count", 0)
+        total_bytes += m.get("num_bytes", 0)
+        total_files += len(m["files"])
+        total_deltas += m.get("n_deltas", 0)
+    print(f"txn watermark: low={lo} high={hi}  (lag spread {0 if lo is None else hi - lo})")
+    print(f"files: {total_files}  delta files: {total_deltas}  "
+          f"last-commit rows: {total_rows:,}  bytes: {total_bytes:,}")
+    runs_dir = os.path.join(root, "_runs")
+    if os.path.isdir(runs_dir):
+        runs = sorted(os.listdir(runs_dir),
+                      key=lambda f: os.path.getmtime(os.path.join(runs_dir, f)))
+        n = int(sys.argv[sys.argv.index("--runs") + 1]) if "--runs" in sys.argv else 3
+        print(f"runs ({len(runs)} total, last {min(n, len(runs))}):")
+        for f in runs[-n:]:
+            with open(os.path.join(runs_dir, f)) as fh:
+                r = json.load(fh)
+            print(f"  {r['run_id']}: read={r['read_succeed_records']:,} "
+                  f"wrote={r['write_succeed_records']:,} "
+                  f"committed={r['partitions_committed']} txn_hi={r['txn_hi']} "
+                  f"{r['record_speed']:,.0f} ev/s  dirty={r['total_error_records']}")
+
+
+if __name__ == "__main__":
+    main()
