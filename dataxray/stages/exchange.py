@@ -39,11 +39,17 @@ def split_by_part(block: pa.Table, num_partitions: int) -> list[pa.Table]:
     ]
 
 
-def direct_exchange(ds, num_partitions: int, merge_fn, merge_kwargs: dict):
+def direct_exchange(ds, num_partitions: int, merge_fn, merge_kwargs: dict,
+                    pipelined: bool = True):
     """Run the partition exchange + per-partition merge with raw Ray tasks.
 
     ``merge_fn(p, tables, **merge_kwargs)`` runs remotely once per non-empty
     partition and returns a small metadata dict. Returns the list of results.
+
+    pipelined=True streams blocks out of the Dataset executor
+    (iter_internal_ref_bundles) and submits split tasks as map output lands,
+    overlapping the split phase with the map phase; False materializes first
+    (to_arrow_refs) — simpler, but serializes the phases.
     """
     import ray
 
@@ -59,14 +65,25 @@ def direct_exchange(ds, num_partitions: int, merge_fn, merge_kwargs: dict):
 
     merge_remote = ray.remote(num_cpus=1)(_merge)
 
-    block_refs = ds.to_arrow_refs()  # executes the map phase; blocks in plasma
     per_part: list[list] = [[] for _ in range(num_partitions)]
-    for ref in block_refs:
-        outs = split_remote.remote(ref)
-        if num_partitions == 1:
-            outs = [outs]
-        for p, r in enumerate(outs):
-            per_part[p].append(r)
+    if pipelined:
+        keep = []  # hold bundle + block refs so the store can't release them
+        for bundle in ds.iter_internal_ref_bundles():
+            keep.append(bundle)
+            for block_ref in bundle.block_refs:
+                keep.append(block_ref)
+                outs = split_remote.remote(block_ref)
+                if num_partitions == 1:
+                    outs = [outs]
+                for p, r in enumerate(outs):
+                    per_part[p].append(r)
+    else:
+        for ref in ds.to_arrow_refs():
+            outs = split_remote.remote(ref)
+            if num_partitions == 1:
+                outs = [outs]
+            for p, r in enumerate(outs):
+                per_part[p].append(r)
     metas = ray.get(
         [merge_remote.remote(p, merge_kwargs, *per_part[p]) for p in range(num_partitions)]
     )
