@@ -61,23 +61,25 @@ from .functions.transforms import build_chain
 # ---------------------------------------------------------------------------
 
 
-def _reader_parquet(param: dict, channels: int):
-    import ray.data
-
+def _expand_paths(param: dict) -> list[str]:
     paths = param["path"] if isinstance(param["path"], list) else [param["path"]]
     files: list[str] = []
     for p in paths:
         files.extend(sorted(globmod.glob(p)) if any(c in p for c in "*?[") else [p])
+    return files
+
+
+def _reader_parquet(param: dict, channels: int):
+    import ray.data
+
+    files = _expand_paths(param)
     return ray.data.read_parquet(files, columns=param.get("column")), len(files)
 
 
 def _reader_csv(param: dict, channels: int):
     import ray.data
 
-    paths = param["path"] if isinstance(param["path"], list) else [param["path"]]
-    files = []
-    for p in paths:
-        files.extend(sorted(globmod.glob(p)) if any(c in p for c in "*?[") else [p])
+    files = _expand_paths(param)
     return ray.data.read_csv(files), len(files)
 
 
@@ -127,10 +129,7 @@ def _reader_stream(param: dict, channels: int):
 def _reader_json(param: dict, channels: int):
     import ray.data
 
-    paths = param["path"] if isinstance(param["path"], list) else [param["path"]]
-    files = []
-    for p in paths:
-        files.extend(sorted(globmod.glob(p)) if any(c in p for c in "*?[") else [p])
+    files = _expand_paths(param)
     return ray.data.read_json(files), len(files)
 
 
@@ -140,10 +139,7 @@ def _reader_orc(param: dict, channels: int):
     the reference's one-split-per-file HdfsReader (HdfsReader.java:176-226)."""
     import ray.data
 
-    paths = param["path"] if isinstance(param["path"], list) else [param["path"]]
-    files = []
-    for p in paths:
-        files.extend(sorted(globmod.glob(p)) if any(c in p for c in "*?[") else [p])
+    files = _expand_paths(param)
 
     def load(batch: pa.Table) -> pa.Table:
         import pyarrow.orc as orc
@@ -307,12 +303,20 @@ def run_job(job: dict, dry_run: bool = False) -> dict:
                 reports.append({"reader": rname, "writer": wname,
                                 "lake": wp["path"], "dryRun": True})
                 continue
+            pages_path = wp.get("pagesPath", rp.get("pagesPath"))
+            cdc_dirty = wp.get("dirtyDir")
+            if cdc_dirty is None and (el.get("record") is not None
+                                      or el.get("percentage") is not None):
+                # an errorLimit without a dirty channel would silently never
+                # fire (budget counts captured rows) — give it a default
+                cdc_dirty = os.path.join("/tmp", "dataxray_cli_dirty",
+                                         f"cdc-{time.time_ns()}")
             rep = run_replay(
-                rp["path"], wp["path"], pages_path=rp.get("pagesPath"),
+                rp["path"], wp["path"], pages_path=pages_path,
                 cfg=ReplayConfig(
                     num_partitions=int(wp.get("numPartitions", 32)),
                     num_salts=int(wp.get("numSalts", 0)),
-                    dirty_dir=wp.get("dirtyDir"),
+                    dirty_dir=cdc_dirty,
                     error_limit=error_limit,
                 ),
             )
@@ -376,8 +380,10 @@ def run_job(job: dict, dry_run: bool = False) -> dict:
 
         n_dirty = 0
         if dirty_dir is not None and os.path.isdir(dirty_dir):
-            # total = sink rows + dirty rows (post-hoc; counters analog
-            # CommunicationTool.java:19-53)
+            # denominator = rows processed = clean sink rows + dirty rows
+            # (ErrorRecordChecker percentage semantics)
+            from .errors import dirty_count
+
             n_out = sink_report.get("rows")
             if n_out is None:
                 import pyarrow.parquet as pq
@@ -388,7 +394,8 @@ def run_job(job: dict, dry_run: bool = False) -> dict:
                         n_out += pq.read_metadata(f).num_rows
                     except Exception:
                         pass
-            n_dirty = check_budget(dirty_dir, n_out, error_limit)
+            n_dirty = check_budget(dirty_dir, n_out + dirty_count(dirty_dir),
+                                   error_limit)
         reports.append({
             "reader": rname, "writer": wname, "splits": n_splits,
             "totalErrorRecords": n_dirty,

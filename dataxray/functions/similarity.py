@@ -36,9 +36,14 @@ class KnnScorer:
         m = _matrix(batch["embedding"].to_pylist(), "embedding")
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         sims = self.q @ m.T  # (Q, B)
+        # per-batch partial top-k: only k+1 candidates per query leave the
+        # batch (+1 covers the query's own vector, filtered downstream), so
+        # the final groupby shuffles Q x (k+1) rows per batch, never Q x B
+        keep = min(self.k + 1, sims.shape[1])
+        top_idx = np.argpartition(-sims, keep - 1, axis=1)[:, :keep]
         out_q, out_n, out_s = [], [], []
         for qi in range(sims.shape[0]):
-            for j in range(sims.shape[1]):
+            for j in top_idx[qi]:
                 out_q.append(self.q_ids[qi])
                 out_n.append(ids[j])
                 out_s.append(sims[qi, j])

@@ -199,15 +199,17 @@ class DxFilter(Transform):
                 return pc.or_(null, pc.invert(m))  # drop non-null full matches
             return pc.and_(pc.invert(null), m)  # 'not like' drops nulls too
         if code in ("=", "==", "!="):
+            if value.lower() == "null":
+                # the literal "null" compares against the null value itself
+                # (:205-212, :255-262); never parse it as a number
+                if code in ("=", "=="):
+                    return pc.invert(null)  # drop nulls, keep the rest
+                return null  # '!= null': keep only nulls
             eq = self._equal_mask(arr, value)
             if code in ("=", "=="):
-                # null field dropped only by the literal "null" (:205-212)
-                null_drop = value.lower() == "null"
-                keep_null = pc.and_(null, pa.scalar(not null_drop))
-                return pc.or_(keep_null, pc.and_(pc.invert(null), pc.invert(eq)))
-            # '!=': null kept only when value is "null" (:255-262)
-            keep_null = pc.and_(null, pa.scalar(value.lower() == "null"))
-            return pc.or_(keep_null, pc.and_(pc.invert(null), eq))
+                return pc.or_(null, pc.and_(pc.invert(null), pc.invert(eq)))
+            # '!=' with a non-null literal: nulls are dropped (:255-262)
+            return pc.and_(pc.invert(null), eq)
         # ordered compares: nulls never dropped (:74-76,134-136)
         cmp = self._ordered_mask(arr, code, value)
         return pc.or_(null, pc.invert(pc.fill_null(cmp, False)))

@@ -60,8 +60,7 @@ class GenConfig:
     def evo_txn(self) -> int:
         """First txn_id whose file carries content_hash (shard-aligned)."""
         evo_shard = int(self.n_shards * self.evo_frac)
-        events_per_shard = (self.n_events + self.n_shards - 1) // self.n_shards
-        return evo_shard * events_per_shard // self.txn_size + 1
+        return evo_shard * _events_per_shard(self) // self.txn_size + 1
 
 
 def _urls_for(url_ids: np.ndarray) -> pa.Array:
@@ -120,9 +119,18 @@ def generate_pages(cfg: GenConfig) -> pa.Table:
     return tbl.cast(PAGE_SCHEMA)
 
 
+def _events_per_shard(cfg: GenConfig) -> int:
+    """Shard size aligned to whole transactions: a WAL segment must never
+    split a txn across files (real log segmenters rotate at commit
+    boundaries; the engine's txn watermarks assume it — sources/wal.py
+    rejects violating file sets)."""
+    per = (cfg.n_events + cfg.n_shards - 1) // cfg.n_shards
+    return ((per + cfg.txn_size - 1) // cfg.txn_size) * cfg.txn_size
+
+
 def generate_event_shard(cfg: GenConfig, shard: int) -> pa.Table:
     """One change-log shard, txn-contiguous, seeded by (seed, shard)."""
-    per = (cfg.n_events + cfg.n_shards - 1) // cfg.n_shards
+    per = _events_per_shard(cfg)
     lo = shard * per
     hi = min(lo + per, cfg.n_events)
     n = hi - lo
@@ -160,7 +168,7 @@ def generate_event_shard(cfg: GenConfig, shard: int) -> pa.Table:
         "lang": lang,
     }
     schema = EVENT_SCHEMA
-    if txn[0] >= cfg.evo_txn if n else False:
+    if n and txn[0] >= cfg.evo_txn:
         ch = pc.if_else(del_mask, pa.scalar(None, pa.string()), _content_hash_for(url_ids, txn))
         cols["content_hash"] = ch
         schema = EVENT_SCHEMA_EVOLVED
@@ -188,7 +196,7 @@ def _corrupt(tbl: pa.Table, rng: np.random.Generator, frac: float) -> pa.Table:
 
 def shard_txn_range(cfg: GenConfig, shard: int) -> tuple[int, int]:
     """[txn_lo, txn_hi] covered by a shard file (inclusive)."""
-    per = (cfg.n_events + cfg.n_shards - 1) // cfg.n_shards
+    per = _events_per_shard(cfg)
     lo = shard * per
     hi = min(lo + per, cfg.n_events) - 1
     return lo // cfg.txn_size + 1, hi // cfg.txn_size + 1
@@ -200,6 +208,7 @@ def write_dataset(out_dir: str, cfg: GenConfig, parallel: bool = True) -> dict:
     meta_path = os.path.join(out_dir, "gen_meta.json")
     cfg_dict = asdict(cfg)
     cfg_dict["p_ops"] = list(cfg.p_ops)
+    cfg_dict["_gen_version"] = 2  # v2: txn-aligned shard boundaries
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             if json.load(f).get("config") == cfg_dict:
@@ -209,8 +218,10 @@ def write_dataset(out_dir: str, cfg: GenConfig, parallel: bool = True) -> dict:
     pq.write_table(generate_pages(cfg), os.path.join(out_dir, "pages.parquet"),
                    compression=cfg.compression, row_group_size=cfg.row_group_size)
 
-    def _write_shard(shard: int) -> tuple[str, int, int]:
+    def _write_shard(shard: int) -> tuple[str, int, int] | None:
         t = generate_event_shard(cfg, shard)
+        if len(t) == 0:  # txn alignment can leave trailing shards empty
+            return None
         path = os.path.join(out_dir, "events", f"events-{shard:05d}.parquet")
         pq.write_table(t, path, compression=cfg.compression, row_group_size=cfg.row_group_size)
         lo, hi = shard_txn_range(cfg, shard)
@@ -228,6 +239,7 @@ def write_dataset(out_dir: str, cfg: GenConfig, parallel: bool = True) -> dict:
     if not parallel:
         shards = [_write_shard(s) for s in range(cfg.n_shards)]
 
+    shards = [sh for sh in shards if sh is not None]
     meta = {
         "config": cfg_dict,
         "pages": os.path.join(out_dir, "pages.parquet"),

@@ -62,7 +62,10 @@ def repartition_lake(src_root: str, dest_root: str, new_num_partitions: int) -> 
             outs = [outs]
         for q, r in enumerate(outs):
             per_new[q].append(r)
-    txn_hi = max(wm.values(), default=0)
+    # destination watermark must be the MIN across source partitions: a
+    # lagging source partition may still have unapplied WAL events below the
+    # max, and stamping max would make future replays skip them silently
+    txn_hi = min(wm.values(), default=0)
     metas = ray.get([
         write_partition.remote(q, txn_hi, *per_new[q]) for q in range(new_num_partitions)
     ])

@@ -22,6 +22,7 @@ watermark and per-partition by manifest txn_hi).
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 from dataclasses import dataclass
@@ -139,6 +140,10 @@ def replay(
     report = RunReport(run_id=run_id)
     lake = Lake(lake_dir)
     _tune_read_parallelism()
+    # per-run dirty subdir: epochs re-validate unpruned WAL files, so a
+    # shared dir would double-count the same bad rows across runs and trip
+    # the budget on clean data (the budget is a per-job contract)
+    dirty_dir = os.path.join(cfg.dirty_dir, run_id) if cfg.dirty_dir else None
 
     bootstrap = not lake.exists()
     if not bootstrap:
@@ -166,8 +171,9 @@ def replay(
     streams = []
     schemas = []
     rows_hint = 0
+    txn_hi_run = low
     if events_dir is not None:
-        ev_ds, ev_schema, n = wal.read_events(events_dir, low_watermark=low)
+        ev_ds, ev_schema, n, txn_hi_run = wal.read_events(events_dir, low_watermark=low)
         if ev_ds is not None:
             streams.append(("events", ev_ds))
             schemas.append(ev_schema)
@@ -200,7 +206,7 @@ def replay(
         if kind == "pages":
             s = _pages_as_events(s, target)
         else:
-            s = s.map_batches(Validate(cfg.dirty_dir), batch_format="pyarrow",
+            s = s.map_batches(Validate(dirty_dir), batch_format="pyarrow",
                               batch_size=cfg.batch_size)
             s = s.map_batches(lambda t, tgt=target: align_table(t, tgt),
                               batch_format="pyarrow", batch_size=cfg.batch_size)
@@ -251,8 +257,8 @@ def replay(
 
     # ---- error budget (before commit: a failed budget aborts cleanly) ----
     n_dirty = 0
-    if cfg.dirty_dir is not None:
-        n_dirty = check_budget(cfg.dirty_dir, rows_hint, cfg.error_limit)
+    if dirty_dir is not None:
+        n_dirty = check_budget(dirty_dir, rows_hint, cfg.error_limit)
     report.total_error_records = n_dirty
     report.read_succeed_records = rows_hint - n_dirty
 
@@ -271,7 +277,20 @@ def replay(
             report.txn_hi = max(report.txn_hi, int(m["txn_hi"]))
         else:
             report.partitions_skipped += 1
-    report.partition_lag = {int(m["partition"]): int(m["txn_hi"]) for m in meta_rows}
+    # every partition provably applied all files up to txn_hi_run (events are
+    # globally txn-ordered and the run read every file above the low
+    # watermark) — advance ALL watermarks to it so they stay uniform: the
+    # global low watermark (file pruning, bootstrap completion) moves, and an
+    # empty hash bucket cannot pin it forever
+    committed_hi = {int(m["partition"]): int(m["txn_hi"]) for m in meta_rows}
+    if txn_hi_run > low:
+        for p in range(cfg.num_partitions):
+            cur = committed_hi.get(p, wm.get(p, -1))
+            if cur < txn_hi_run:
+                lake.commit(p, txn_hi_run, [], 0, 0, run_id, mode="watermark")
+            report.partition_lag[p] = max(cur, txn_hi_run)
+    else:
+        report.partition_lag.update(committed_hi)
     lake.cleanup_staging(run_id)
     report.finish(started)
     report.write(lake.root)

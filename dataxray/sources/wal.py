@@ -56,6 +56,17 @@ def prune_files(files: list[EventFile], low_watermark: int) -> list[EventFile]:
     return [f for f in files if f.txn_hi > low_watermark]
 
 
+def txn_aligned(files: list[EventFile]) -> bool:
+    """True when file txn ranges are disjoint — i.e. no transaction is split
+    across files. A split txn breaks watermark semantics (a watermark at that
+    txn would drop the later half); real WAL segmenters rotate at commit
+    boundaries. Misaligned (or corrupt-stat: dirty rows can skew footer
+    min/max) file sets disable the uniform-watermark fast path rather than
+    failing the job."""
+    ordered = sorted(files, key=lambda f: (f.txn_lo, f.path))
+    return all(b.txn_lo > a.txn_hi for a, b in zip(ordered, ordered[1:]))
+
+
 def unified_schema(files: list[EventFile]) -> pa.Schema:
     return unify([pq.read_schema(f.path) for f in files])
 
@@ -68,15 +79,29 @@ def read_events(
 ):
     """ray.data.Dataset of events with txn > low_watermark (file-granular
     pruning here; exact per-partition filtering happens in the merge).
-    Returns (dataset, unified_event_schema, total_rows_hint).
+    Returns (dataset, unified_event_schema, total_rows_hint, txn_hi) where
+    txn_hi is the max transaction covered by the files read — after a
+    successful replay EVERY partition's watermark may advance to it, even
+    partitions that saw no rows (they provably have no events ≤ txn_hi).
     """
     import ray.data
 
     files = prune_files(scan_event_files(events_dir), low_watermark)
     if not files:
-        return None, None, 0
+        return None, None, 0, low_watermark
     schema = unified_schema(files)
     ds = ray.data.read_parquet(
         [f.path for f in files], schema=schema, columns=columns, **read_kwargs
     )
-    return ds, schema, sum(f.num_rows for f in files)
+    if txn_aligned(files):
+        txn_hi = max(f.txn_hi for f in files)
+    else:  # conservative: no uniform watermark advance on misaligned logs
+        import warnings
+
+        warnings.warn(
+            "WAL files overlap or split transactions (or dirty rows skew "
+            "footer stats); uniform watermark advance disabled for this run",
+            stacklevel=2,
+        )
+        txn_hi = low_watermark
+    return ds, schema, sum(f.num_rows for f in files), txn_hi

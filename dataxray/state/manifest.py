@@ -212,7 +212,11 @@ class Lake:
         compaction). mode="delta": staged files APPEND — they hold only this
         epoch's LWW winners incl. tombstones, resolved against older files at
         read time (the merge-amplification fix for steady-state epochs: an
-        epoch touching 1% of a partition writes 1%, not 100%)."""
+        epoch touching 1% of a partition writes 1%, not 100%).
+        mode="watermark": no data; advance txn_hi only (a partition that saw
+        no rows in a fully-applied epoch still applied it — without this,
+        one empty hash bucket pins the global low watermark forever and
+        every future epoch re-reads the whole history)."""
         cur = self.manifest(p)
         if cur is not None and cur["txn_hi"] >= txn_hi:
             for s in staged:  # replayed label → drop the duplicate output
@@ -226,7 +230,10 @@ class Lake:
             dest = os.path.join(final_dir, os.path.basename(s))
             os.replace(s, dest)
             rel_files.append(os.path.relpath(dest, self.root))
-        if mode == "delta" and cur is not None:
+        if mode == "watermark":
+            files = list(cur["files"]) if cur else []
+            n_deltas = cur.get("n_deltas", 0) if cur else 0
+        elif mode == "delta" and cur is not None:
             files = list(cur["files"]) + rel_files
             n_deltas = cur.get("n_deltas", 0) + 1
         else:
@@ -239,8 +246,10 @@ class Lake:
                 "txn_hi": txn_hi,
                 "files": files,
                 "n_deltas": n_deltas,
-                "row_count": row_count,
-                "num_bytes": num_bytes,
+                "row_count": (cur.get("row_count", 0) if (mode == "watermark" and cur)
+                              else row_count),
+                "num_bytes": (cur.get("num_bytes", 0) if (mode == "watermark" and cur)
+                              else num_bytes),
                 "run_id": run_id,
             },
         )

@@ -13,7 +13,7 @@ from dataxray.state.manifest import Lake
 
 def test_lakewriter_cdc_job(tmp_path):
     d = str(tmp_path / "data")
-    cfg = GenConfig(n_urls=100, n_events=1_000, n_shards=2, html_mean=16)
+    cfg = GenConfig(n_urls=2_000, n_events=1_000, n_shards=2, html_mean=16)
     write_dataset(d, cfg, parallel=False)
     lake = str(tmp_path / "lake")
     job = {"job": {"content": [{
@@ -25,7 +25,11 @@ def test_lakewriter_cdc_job(tmp_path):
     rep = run_job(job)
     c = rep["content"][0]
     assert c["partitionsCommitted"] == 4 and c["txnHi"] > 0
-    assert Lake(lake).read_all().num_rows == c["writeSucceedRecords"]
+    t = Lake(lake).read_all()
+    assert t.num_rows == c["writeSucceedRecords"]
+    # pagesPath in the writer block must actually bootstrap base pages:
+    # untouched urls (txn_id == 0) survive only via the pages table
+    assert 0 in set(t["txn_id"].to_pylist())
     # rerun: exactly-once no-op
     rep2 = run_job(job)
     assert rep2["content"][0]["partitionsCommitted"] == 0

@@ -138,7 +138,7 @@ def test_error_budget_enforced(tmp_path):
                                   error_limit=ErrorLimit(percentage=0.25)))
     assert rep.total_error_records > 0
     import glob
-    n = sum(pq.read_metadata(p).num_rows for p in glob.glob(os.path.join(dirty2, "*.parquet")))
+    n = sum(pq.read_metadata(p).num_rows for p in glob.glob(os.path.join(dirty2, "**", "*.parquet"), recursive=True))
     assert n == rep.total_error_records
 
 
@@ -164,7 +164,7 @@ def test_dirty_rows_carry_reasons(tmp_path):
     replay(os.path.join(d, "events"), lake,
            cfg=ReplayConfig(num_partitions=2, dirty_dir=dirty,
                             error_limit=ErrorLimit(percentage=0.9)))
-    files = glob.glob(dirty + "/*.parquet")
+    files = glob.glob(os.path.join(dirty, "**", "*.parquet"), recursive=True)
     assert files
     t = pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
     reasons = set(t["_dirty_reason"].to_pylist())

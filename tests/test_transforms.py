@@ -129,3 +129,12 @@ def test_build_chain_from_config_and_udf():
     assert chain(T(s=pa.array(["hello"])))["s"].to_pylist() == ["HEL"]
     with pytest.raises(ValueError):
         register_udf("dx_evil", lambda t: t)
+
+
+def test_filter_null_literal_on_numeric_column():
+    """'= null' / '!= null' must not parse 'null' as a number (review fix)."""
+    t = T(x=pa.array([1.5, None, 2.5]))
+    assert DxFilter("x", "=", "null").apply(t)["x"].to_pylist() == [1.5, 2.5]
+    assert DxFilter("x", "!=", "null").apply(t)["x"].to_pylist() == [None]
+    ts = T(ts=pa.array([1000, None], pa.timestamp("ms")))
+    assert DxFilter("ts", "=", "null").apply(ts).num_rows == 1
