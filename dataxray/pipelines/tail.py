@@ -11,11 +11,72 @@ epochs, whichever first. A long-lived service passes float('inf')/None.
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from ..state.checkpoint import RunReport
 from .replay import ReplayConfig, replay
+
+
+def replay_chunked(
+    events_dir: str,
+    lake_dir: str,
+    pages_path: str | None = None,
+    cfg: ReplayConfig = ReplayConfig(),
+    max_chunk_bytes: int = 2 << 30,
+) -> list[RunReport]:
+    """Replay a large backlog in bounded sub-epochs of ≤ max_chunk_bytes of
+    compressed WAL per pass.
+
+    Why: one replay's sort shuffle holds the whole pass's decoded event data
+    in the object store at once; a 10^10-event backlog would spill (measured:
+    a 50M-event single pass spills and runs minutes instead of seconds).
+    Chunking caps in-flight bytes at a budget that fits memory, and the
+    per-partition watermarks make the chunk sequence exactly-once/resumable —
+    a crash mid-backlog resumes at the next chunk. Pair with
+    cfg.sink_mode="delta" so each chunk appends O(chunk) instead of
+    rewriting partition state per pass.
+    """
+    from ..sources.wal import prune_files, scan_event_files
+    from ..state.manifest import Lake
+
+    lake = Lake(lake_dir)
+    low = -1
+    if lake.exists():
+        wm = lake.watermarks()
+        low = min(wm.values()) if len(wm) >= lake.num_partitions() else 0
+    files = prune_files(scan_event_files(events_dir), max(low, 0))
+    files = sorted(files, key=lambda f: f.txn_lo)
+
+    chunks: list[list] = [[]]
+    size = 0
+    for f in files:
+        fsize = os.path.getsize(f.path)
+        if chunks[-1] and size + fsize > max_chunk_bytes:
+            chunks.append([])
+            size = 0
+        chunks[-1].append(f)
+        size += fsize
+
+    reports = []
+    chunk_dir_base = os.path.join("/tmp", "dataxray_chunks", uuid.uuid4().hex[:8])
+    for i, chunk in enumerate(chunks):
+        if not chunk:
+            continue
+        cdir = os.path.join(chunk_dir_base, f"chunk-{i:04d}")
+        os.makedirs(cdir, exist_ok=True)
+        for f in chunk:
+            link = os.path.join(cdir, os.path.basename(f.path))
+            if not os.path.exists(link):
+                os.symlink(f.path, link)
+        reports.append(replay(cdir, lake_dir,
+                              pages_path=pages_path if i == 0 else None,
+                              cfg=cfg))
+    shutil.rmtree(chunk_dir_base, ignore_errors=True)
+    return reports
 
 
 @dataclass

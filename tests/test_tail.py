@@ -58,3 +58,27 @@ def test_tail_consumes_live_appends(tmp_path):
         .sort_values("url").reset_index(drop=True)
     assert got["url"].tolist() == oracle["url"].tolist()
     assert got["text"].tolist() == oracle["text"].tolist()
+
+
+def test_chunked_replay_matches_oracle(tmp_path):
+    from dataxray.pipelines.tail import replay_chunked
+
+    cfg = GenConfig(n_urls=200, n_events=2_000, n_shards=8, html_mean=16)
+    src = str(tmp_path / "gen")
+    write_dataset(src, cfg, parallel=False)
+    lake = str(tmp_path / "lake")
+    reports = replay_chunked(os.path.join(src, "events"), lake,
+                             pages_path=os.path.join(src, "pages.parquet"),
+                             cfg=ReplayConfig(num_partitions=4, sink_mode="delta",
+                                              compact_threshold=4),
+                             max_chunk_bytes=40_000)  # force several chunks
+    assert len(reports) >= 3
+
+    pages = generate_pages(cfg)
+    events = pa.concat_tables(
+        [generate_event_shard(cfg, s) for s in range(cfg.n_shards)],
+        promote_options="permissive")
+    oracle = sequential_oracle(pages, events)
+    got = Lake(lake).read_all().to_pandas().sort_values("url").reset_index(drop=True)
+    assert got["url"].tolist() == oracle["url"].tolist()
+    assert got["text"].tolist() == oracle["text"].tolist()
