@@ -110,6 +110,36 @@ def _merge_tables(p: int, tables: list[pa.Table], lake_root: str, run_id: str,
             "noop": False, "mode": mode}
 
 
+def _warn_if_backlog_exceeds_memory(events_dir: str, low: int) -> None:
+    """One replay's sort shuffle holds the pass's decoded events in the
+    object store; a backlog much larger than the store spills to disk and
+    collapses throughput ~10x (measured, BASELINE.md). Steer big backlogs
+    to pipelines.tail.replay_chunked instead of degrading silently."""
+    import os as _os
+    import warnings
+
+    from ..sources.wal import prune_files, scan_event_files
+
+    try:
+        import ray
+
+        store = ray.available_resources().get("object_store_memory", 0) or             ray.cluster_resources().get("object_store_memory", 0)
+    except Exception:  # pragma: no cover
+        return
+    if not store:
+        return
+    nbytes = sum(_os.path.getsize(f.path)
+                 for f in prune_files(scan_event_files(events_dir), max(low, 0)))
+    # zstd parquet decodes to roughly 3-5x in Arrow; warn at ~1/8 of store
+    if nbytes * 4 > store / 2:
+        warnings.warn(
+            f"replaying {nbytes >> 20} MiB of WAL in one pass may spill the "
+            f"object store ({int(store) >> 30} GiB); consider "
+            "pipelines.tail.replay_chunked for bounded sub-epochs",
+            stacklevel=3,
+        )
+
+
 def _pages_as_events(pages_ds, target: pa.Schema):
     """Bootstrap: lift the base web-page table into the event stream at
     (txn_id=0, seq=0, op='I') — base state is just the oldest write."""
@@ -175,6 +205,7 @@ def replay(
     if events_dir is not None:
         ev_ds, ev_schema, n, txn_hi_run = wal.read_events(events_dir, low_watermark=low)
         if ev_ds is not None:
+            _warn_if_backlog_exceeds_memory(events_dir, low)
             streams.append(("events", ev_ds))
             schemas.append(ev_schema)
             rows_hint += n
