@@ -154,7 +154,7 @@ def _reader_orc(param: dict, channels: int):
 def _reader_wal(param: dict, channels: int):
     from .sources import wal
 
-    ds, schema, n = wal.read_events(param["path"], int(param.get("lowWatermark", 0)))
+    ds, schema, n, _txn_hi = wal.read_events(param["path"], int(param.get("lowWatermark", 0)))
     if ds is None:
         raise ValueError(f"no event files under {param['path']}")
     return ds, n

@@ -132,7 +132,7 @@ def generate_event_shard(cfg: GenConfig, shard: int) -> pa.Table:
     """One change-log shard, txn-contiguous, seeded by (seed, shard)."""
     per = _events_per_shard(cfg)
     lo = shard * per
-    hi = min(lo + per, cfg.n_events)
+    hi = max(lo, min(lo + per, cfg.n_events))  # trailing shards may be empty
     n = hi - lo
     rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, shard]))
 

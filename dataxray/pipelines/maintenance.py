@@ -35,16 +35,22 @@ def repartition_lake(src_root: str, dest_root: str, new_num_partitions: int) -> 
     wm = src.watermarks()
     src_parts = sorted(wm)
 
-    @ray.remote(num_cpus=1, num_returns=new_num_partitions)
+    @ray.remote(num_cpus=1, num_returns=max(new_num_partitions, 2))
     def split_partition(p: int):
+        # num_returns >= 2 so Ray always unpacks the tuple (num_returns=1
+        # would deliver the whole 1-tuple as a single object); the dummy
+        # second slot for P=1 is dropped below
         t = Lake(src_root).resolve(p)
         if t is None or len(t) == 0:
-            return tuple(None for _ in range(new_num_partitions))
+            return tuple(None for _ in range(max(new_num_partitions, 2)))
         codes = partition_of(t["url"], new_num_partitions)
         t = t.append_column(PART_COL, pa.array(codes))
         from ..stages.exchange import split_by_part
 
-        return tuple(split_by_part(t, new_num_partitions))
+        out = list(split_by_part(t, new_num_partitions))
+        while len(out) < 2:
+            out.append(None)
+        return tuple(out)
 
     @ray.remote(num_cpus=1)
     def write_partition(p: int, txn_hi: int, *tables):
@@ -58,9 +64,7 @@ def repartition_lake(src_root: str, dest_root: str, new_num_partitions: int) -> 
     per_new: list[list] = [[] for _ in range(new_num_partitions)]
     for p in src_parts:
         outs = split_partition.remote(p)
-        if new_num_partitions == 1:
-            outs = [outs]
-        for q, r in enumerate(outs):
+        for q, r in enumerate(outs[:new_num_partitions]):
             per_new[q].append(r)
     # destination watermark must be the MIN across source partitions: a
     # lagging source partition may still have unapplied WAL events below the

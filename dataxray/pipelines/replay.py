@@ -30,7 +30,7 @@ from dataclasses import dataclass
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..errors import ErrorLimit, check_budget, dirty_count
+from ..errors import ErrorLimit, check_budget
 from ..schema import META_FIELDS, OP_INSERT, PART_COL, SALT_COL, align_table, unify
 from ..sources import wal
 from ..stages.decode import Validate
@@ -180,7 +180,10 @@ def replay(
         lake.validate_partitioner()
         from .maintenance import sweep_staging
 
-        sweep_staging(lake.root)  # GC orphans from crashed prior runs
+        # GC staging orphans from crashed runs. 24h grace: the lake is
+        # single-writer by design, but a generous window also protects any
+        # long compaction that does run concurrently by mistake
+        sweep_staging(lake.root, max_age_sec=24 * 3600)
         if lake.num_partitions() != cfg.num_partitions:
             raise RuntimeError(
                 f"lake has {lake.num_partitions()} partitions, config asks "
@@ -314,12 +317,17 @@ def replay(
     # global low watermark (file pruning, bootstrap completion) moves, and an
     # empty hash bucket cannot pin it forever
     committed_hi = {int(m["partition"]): int(m["txn_hi"]) for m in meta_rows}
-    if txn_hi_run > low:
+    # cap the advance at the max txn actually APPLIED from valid events: a
+    # corrupt/outlier txn_id in a file footer could otherwise poison every
+    # watermark and silently skip all future legitimate events
+    max_applied = max(committed_hi.values(), default=low)
+    advance_to = min(txn_hi_run, max_applied)
+    if advance_to > low:
         for p in range(cfg.num_partitions):
             cur = committed_hi.get(p, wm.get(p, -1))
-            if cur < txn_hi_run:
-                lake.commit(p, txn_hi_run, [], 0, 0, run_id, mode="watermark")
-            report.partition_lag[p] = max(cur, txn_hi_run)
+            if cur < advance_to:
+                lake.commit(p, advance_to, [], 0, 0, run_id, mode="watermark")
+            report.partition_lag[p] = max(cur, advance_to)
     else:
         report.partition_lag.update(committed_hi)
     lake.cleanup_staging(run_id)

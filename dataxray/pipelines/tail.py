@@ -41,15 +41,19 @@ def replay_chunked(
     rewriting partition state per pass.
     """
     from ..sources.wal import prune_files, scan_event_files
+    from ..state.checkpoint import global_low_watermark
     from ..state.manifest import Lake
 
     lake = Lake(lake_dir)
-    low = -1
+    low = 0
     if lake.exists():
-        wm = lake.watermarks()
-        low = min(wm.values()) if len(wm) >= lake.num_partitions() else 0
-    files = prune_files(scan_event_files(events_dir), max(low, 0))
+        low = global_low_watermark(lake.watermarks(), lake.num_partitions())
+    files = prune_files(scan_event_files(events_dir), low)
     files = sorted(files, key=lambda f: f.txn_lo)
+    if not files:
+        # nothing to chunk — delegate (handles the pages-only bootstrap and
+        # the fully-caught-up no-op exactly like a plain replay)
+        return [replay(events_dir, lake_dir, pages_path=pages_path, cfg=cfg)]
 
     chunks: list[list] = [[]]
     size = 0

@@ -58,7 +58,8 @@ def direct_exchange(ds, num_partitions: int, merge_fn, merge_kwargs: dict,
     )
 
     def _merge(p, kwargs, *tables):
-        parts = [t for t in tables if t is not None and len(t)]
+        parts = [t.drop_columns([PART_COL]) if PART_COL in t.column_names else t
+                 for t in tables if t is not None and len(t)]
         if not parts:
             return None
         return merge_fn(p, parts, **kwargs)
@@ -66,24 +67,26 @@ def direct_exchange(ds, num_partitions: int, merge_fn, merge_kwargs: dict,
     merge_remote = ray.remote(num_cpus=1)(_merge)
 
     per_part: list[list] = [[] for _ in range(num_partitions)]
+
+    def _submit(block_ref):
+        if num_partitions == 1:
+            # num_returns=1 would hand the merge a 1-tuple, not a table —
+            # with a single partition there is nothing to split anyway
+            per_part[0].append(block_ref)
+            return
+        for p, r in enumerate(split_remote.remote(block_ref)):
+            per_part[p].append(r)
+
     if pipelined:
         keep = []  # hold bundle + block refs so the store can't release them
         for bundle in ds.iter_internal_ref_bundles():
             keep.append(bundle)
             for block_ref in bundle.block_refs:
                 keep.append(block_ref)
-                outs = split_remote.remote(block_ref)
-                if num_partitions == 1:
-                    outs = [outs]
-                for p, r in enumerate(outs):
-                    per_part[p].append(r)
+                _submit(block_ref)
     else:
         for ref in ds.to_arrow_refs():
-            outs = split_remote.remote(ref)
-            if num_partitions == 1:
-                outs = [outs]
-            for p, r in enumerate(outs):
-                per_part[p].append(r)
+            _submit(ref)
     metas = ray.get(
         [merge_remote.remote(p, merge_kwargs, *per_part[p]) for p in range(num_partitions)]
     )

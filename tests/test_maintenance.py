@@ -60,3 +60,18 @@ def test_sweep_staging_age_gated(tmp_path):
     assert sweep_staging(root, max_age_sec=3600) == 1
     assert not os.path.exists(old)
     assert os.path.exists(os.path.join(root, "_staging", "fresh-run"))
+
+
+def test_repartition_to_single_partition(tmp_path):
+    d = str(tmp_path / "data")
+    cfg = GenConfig(n_urls=80, n_events=600, n_shards=2, html_mean=16)
+    write_dataset(d, cfg, parallel=False)
+    src = str(tmp_path / "src")
+    replay(os.path.join(d, "events"), src,
+           pages_path=os.path.join(d, "pages.parquet"),
+           cfg=ReplayConfig(num_partitions=4))
+    before = Lake(src).read_all().to_pandas().sort_values("url").reset_index(drop=True)
+    dest = str(tmp_path / "dest")
+    repartition_lake(src, dest, 1)
+    after = Lake(dest).read_all().to_pandas().sort_values("url").reset_index(drop=True)
+    assert before.equals(after)

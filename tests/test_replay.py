@@ -184,3 +184,13 @@ def test_direct_exchange_matches_oracle(data_dir, oracle_df, tmp_path):
     rep2 = replay(os.path.join(data_dir, "events"), lake,
                   cfg=ReplayConfig(num_partitions=8, exchange="direct"))
     assert rep2.partitions_committed == 0
+
+
+def test_single_partition_direct_exchange(data_dir, oracle_df, tmp_path):
+    """P=1 exercises the no-split path of the direct exchange (review fix:
+    Ray doesn't unpack num_returns=1 tuples)."""
+    lake = str(tmp_path / "lake_p1")
+    replay(os.path.join(data_dir, "events"), lake,
+           pages_path=os.path.join(data_dir, "pages.parquet"),
+           cfg=ReplayConfig(num_partitions=1, exchange="direct"))
+    assert_matches_oracle(lake, oracle_df)

@@ -75,3 +75,37 @@ def test_partitioner_mismatch_refused(tmp_path):
         json.dump(meta, f)
     with pytest.raises(RuntimeError, match="refusing to resume"):
         lake.validate_partitioner()
+
+
+def test_outlier_txn_does_not_poison_watermarks(tmp_path):
+    """A corrupt huge txn_id in a dirty row must not advance watermarks past
+    the max VALID applied txn (review fix: watermark poisoning)."""
+    import pyarrow.compute as pc
+
+    from dataxray.pipelines.replay import ReplayConfig, replay
+
+    d = str(tmp_path / "wal")
+    os.makedirs(d)
+    t1 = pa.table({"url": ["a", "b"], "txn_id": pa.array([1, 2], pa.int64()),
+                   "seq": [0, 0], "op": ["I", "I"],
+                   "text": ["x", "y"]})
+    # second file: one valid event txn 3 plus a corrupt row with txn 10^9
+    # and a bad op (dirty -> never applied)
+    t2 = pa.table({"url": ["c", "zz"], "txn_id": pa.array([3, 10**9], pa.int64()),
+                   "seq": [0, 0], "op": ["I", "X"],
+                   "text": ["z", "junk"]})
+    pq.write_table(t1, os.path.join(d, "events-00000.parquet"))
+    pq.write_table(t2, os.path.join(d, "events-00001.parquet"))
+    lake_dir = str(tmp_path / "lake")
+    replay(d, lake_dir, cfg=ReplayConfig(num_partitions=2,
+                                         dirty_dir=str(tmp_path / "dirty")))
+    wm = Lake(lake_dir).watermarks()
+    assert max(wm.values()) <= 3  # not poisoned to 10^9
+    # a later legitimate event must still apply
+    t3 = pa.table({"url": ["d"], "txn_id": pa.array([4], pa.int64()),
+                   "seq": [0], "op": ["I"], "text": ["late"]})
+    pq.write_table(t3, os.path.join(d, "events-00002.parquet"))
+    replay(d, lake_dir, cfg=ReplayConfig(num_partitions=2,
+                                         dirty_dir=str(tmp_path / "dirty")))
+    urls = set(Lake(lake_dir).read_all()["url"].to_pylist())
+    assert "d" in urls
