@@ -216,9 +216,14 @@ class Lake:
         mode="watermark": no data; advance txn_hi only (a partition that saw
         no rows in a fully-applied epoch still applied it — without this,
         one empty hash bucket pins the global low watermark forever and
-        every future epoch re-reads the whole history)."""
+        every future epoch re-reads the whole history).
+        mode="compact": replace files at the SAME txn_hi (resolving deltas
+        changes layout, not state) — exempt from the monotonic-label check."""
         cur = self.manifest(p)
-        if cur is not None and cur["txn_hi"] >= txn_hi:
+        replayed = cur is not None and (
+            cur["txn_hi"] > txn_hi if mode == "compact" else cur["txn_hi"] >= txn_hi
+        )
+        if replayed:
             for s in staged:  # replayed label → drop the duplicate output
                 if os.path.exists(s):
                     os.remove(s)
@@ -233,6 +238,9 @@ class Lake:
         if mode == "watermark":
             files = list(cur["files"]) if cur else []
             n_deltas = cur.get("n_deltas", 0) if cur else 0
+        elif mode == "compact":
+            files = rel_files
+            n_deltas = 0
         elif mode == "delta" and cur is not None:
             files = list(cur["files"]) + rel_files
             n_deltas = cur.get("n_deltas", 0) + 1
@@ -265,6 +273,46 @@ class Lake:
         for name in os.listdir(pdir):
             if name.startswith("txn=") and name not in live_dirs:
                 shutil.rmtree(os.path.join(pdir, name), ignore_errors=True)
+
+    def compact_partition(self, p: int, run_id: str | None = None) -> str:
+        """Resolve a partition's base+deltas into one base file at the same
+        txn_hi. No-op on partitions without deltas; idempotent."""
+        import uuid as _uuid
+
+        from ..stages.merge import resolve_state
+
+        m = self.manifest(p)
+        if m is None or m.get("n_deltas", 0) == 0:
+            return "noop"
+        run_id = run_id or f"compact-{_uuid.uuid4().hex[:8]}"
+        raw = self.read_state_raw(p)
+        resolved = resolve_state(raw)
+        meta = self.write_staged(run_id, p, resolved)
+        status = self.commit(p, m["txn_hi"], meta["staged"], meta["row_count"],
+                             meta["num_bytes"], run_id, mode="compact")
+        self.cleanup_staging(run_id)
+        return status
+
+    def compact_all(self, parallel: bool = True) -> int:
+        """Compact every delta-bearing partition; returns count compacted.
+        Distributed when Ray is up (one task per partition)."""
+        parts = [p for p in self.watermarks()
+                 if (self.manifest(p) or {}).get("n_deltas", 0) > 0]
+        if not parts:
+            return 0
+        if parallel:
+            try:
+                import ray
+
+                if ray.is_initialized():
+                    root = self.root
+                    fn = ray.remote(num_cpus=1)(
+                        lambda p: Lake(root).compact_partition(p))
+                    return sum(r == "committed"
+                               for r in ray.get([fn.remote(p) for p in parts]))
+            except Exception:  # pragma: no cover
+                pass
+        return sum(self.compact_partition(p) == "committed" for p in parts)
 
     def cleanup_staging(self, run_id: str) -> None:
         shutil.rmtree(os.path.join(self.root, STAGING, run_id), ignore_errors=True)

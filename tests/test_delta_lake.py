@@ -95,3 +95,26 @@ def test_dataset_read_resolves_deltas(data_dir, oracle_df, tmp_path):
     assert len(rows) == len(oracle_df)
     got = sorted(r["url"] for r in rows)
     assert got == oracle_df["url"].tolist()
+
+
+def test_explicit_compaction(data_dir, oracle_df, tmp_path):
+    """Lake.compact_all resolves deltas into single bases at unchanged
+    watermarks; state and subsequent replays are unaffected."""
+    lake_dir = str(tmp_path / "lake")
+    cfg = ReplayConfig(num_partitions=4, sink_mode="delta", compact_threshold=100)
+    _epoch_replay(data_dir, lake_dir, cfg, tmp_path)
+    lake = Lake(lake_dir)
+    assert any(lake.manifest(p).get("n_deltas", 0) > 0 for p in range(4))
+    wm_before = lake.watermarks()
+    n = lake.compact_all()
+    assert n > 0
+    assert lake.watermarks() == wm_before  # compaction never moves watermarks
+    assert all(lake.manifest(p).get("n_deltas", 0) == 0 for p in range(4))
+    assert all(len(lake.manifest(p)["files"]) == 1 for p in range(4))
+    assert_oracle(lake_dir, oracle_df)
+    # second compaction: no-op
+    assert lake.compact_all() == 0
+    # evolution survived the delta/compact cycle byte-for-byte
+    got = lake.read_all().to_pandas().sort_values("url").reset_index(drop=True)
+    ch = got["content_hash"].where(got["content_hash"].notna(), None).tolist()
+    assert ch == oracle_df["content_hash"].tolist()

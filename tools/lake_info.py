@@ -2,7 +2,8 @@
 recent runs — the operational visibility surface (counters/logStatistics
 analog, JobContainer.logStatistics:538-593).
 
-Usage: python tools/lake_info.py /path/to/lake [--runs N]
+Usage: python tools/lake_info.py /path/to/lake [--runs N] [--compact]
+       (--compact resolves all delta-bearing partitions in place)
 """
 
 from __future__ import annotations
@@ -25,6 +26,13 @@ def main() -> None:
     if not lake.exists():
         print(f"no lake at {root}")
         sys.exit(1)
+    if "--compact" in sys.argv:
+        import ray
+
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        n = lake.compact_all()
+        print(f"compacted {n} partitions")
+        ray.shutdown()
     meta = lake.meta()
     wm = lake.watermarks()
     print(f"lake: {root}")
