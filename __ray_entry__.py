@@ -57,10 +57,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": R.quality_stats,
         "knn_cosine_top5": R.knn_cosine_top5,
         "embedding_dup_ids": R.embedding_dup_ids,
+        "langid_pred": R.langid_pred,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "simhash_signatures": R.simhash_signatures,
-        "langid_pred": R.langid_pred,
         "doc_fingerprints": R.doc_fingerprints,
         "knn_lsh_top5": R.knn_lsh_top5,
         "multimodal_features": R.multimodal_features,
@@ -85,6 +85,33 @@ _N_TOKENS = (
     "CASE WHEN trim(text) = '' THEN 0 "
     "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
 )
+
+
+def _langid_sql() -> str:
+    """Stopword-argmax language ID as SQL, built from the same stopword sets
+    the engine uses (first-lang-wins tie-breaking in dict order)."""
+    from dataxray.functions.text import _STOPWORDS
+
+    langs = list(_STOPWORDS)
+    hx = {}
+    for lang, words in _STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in sorted(words))
+        hx[lang] = (
+            "len(list_filter(regexp_split_to_array(lower(text), "
+            f"'[^a-z0-9_'']+'), x -> x IN ({lst})))"
+        )
+    hits = ", ".join(f"{hx[lang]} AS {lang}" for lang in langs)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"{lang} > 0"]
+        conds += [f"{lang} > {o}" for o in langs[:i]]  # must beat earlier langs
+        conds += [f"{lang} >= {o}" for o in langs[i + 1:]]  # ties beat later
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return (
+        f"WITH h AS (SELECT doc_id, lang, {hits} FROM documents) "
+        f"SELECT doc_id, lang, CASE {' '.join(cases)} ELSE 'und' END AS lang_pred "
+        "FROM h"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -213,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank "
             "FROM s QUALIFY rank <= 5"
         ),
+        "langid_pred": _langid_sql(),
         "embedding_dup_ids": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
