@@ -230,6 +230,46 @@ WRITERS = {
 # ---------------------------------------------------------------------------
 
 
+class _RowTally:
+    """Driver-owned counter actor: the exact clean-row count for the error
+    budget denominator. Each counting task blocks on its add (ray.get) so by
+    the time the sink finishes, every increment has been applied — no re-scan
+    of the sink dir (which miscounts: csv files have no parquet footer,
+    writeMode=append dirs contain pre-existing rows)."""
+
+    def __init__(self):
+        import ray
+
+        @ray.remote(num_cpus=0)
+        class Tally:
+            def __init__(self):
+                self.n = 0
+
+            def add(self, k: int) -> None:
+                self.n += k
+
+            def get(self) -> int:
+                return self.n
+
+        self.actor = Tally.remote()
+
+    def stage(self, ds):
+        actor = self.actor
+
+        def count(batch: pa.Table) -> pa.Table:
+            import ray
+
+            ray.get(actor.add.remote(len(batch)))
+            return batch
+
+        return ds.map_batches(count, batch_format="pyarrow")
+
+    def total(self) -> int:
+        import ray
+
+        return ray.get(self.actor.get.remote())
+
+
 class RateLimiter:
     """Sleep-based records/s + bytes/s throttle per task (flow control per
     Channel.java:148-204; the global cap is approximated as cap/concurrency
@@ -376,25 +416,20 @@ def run_job(job: dict, dry_run: bool = False) -> dict:
                 batch_format="pyarrow", concurrency=channels, batch_size=4096,
             )
 
+        tally = None
+        if dirty_dir is not None:
+            tally = _RowTally()
+            ds = tally.stage(ds)
         sink_report = WRITERS[wname](ds, content["writer"].get("parameter", {}))
 
         n_dirty = 0
         if dirty_dir is not None and os.path.isdir(dirty_dir):
             # denominator = rows processed = clean sink rows + dirty rows
-            # (ErrorRecordChecker percentage semantics)
+            # (ErrorRecordChecker percentage semantics); clean rows come from
+            # the in-pipeline tally, independent of sink format or writeMode
             from .errors import dirty_count
 
-            n_out = sink_report.get("rows")
-            if n_out is None:
-                import pyarrow.parquet as pq
-
-                n_out = 0
-                for f in globmod.glob(os.path.join(sink_report["sink"], "*")):
-                    try:
-                        n_out += pq.read_metadata(f).num_rows
-                    except Exception:
-                        pass
-            n_dirty = check_budget(dirty_dir, n_out + dirty_count(dirty_dir),
+            n_dirty = check_budget(dirty_dir, tally.total() + dirty_count(dirty_dir),
                                    error_limit)
         reports.append({
             "reader": rname, "writer": wname, "splits": n_splits,

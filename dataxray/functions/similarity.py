@@ -38,15 +38,25 @@ class KnnScorer:
         sims = self.q @ m.T  # (Q, B)
         # per-batch partial top-k: only k+1 candidates per query leave the
         # batch (+1 covers the query's own vector, filtered downstream), so
-        # the final groupby shuffles Q x (k+1) rows per batch, never Q x B
+        # the final groupby shuffles Q x (k+1) rows per batch, never Q x B.
+        # Candidates are chosen in the GLOBAL tie-break order (sim DESC,
+        # neighbor_id ASC): an argpartition cut alone could drop a row tied
+        # at the k-th similarity that the global reduce would rank inside
+        # the top k (exact-duplicate embeddings hit this).
         keep = min(self.k + 1, sims.shape[1])
-        top_idx = np.argpartition(-sims, keep - 1, axis=1)[:, :keep]
         out_q, out_n, out_s = [], [], []
         for qi in range(sims.shape[0]):
-            for j in top_idx[qi]:
+            s = sims[qi]
+            if keep < len(s):
+                cut = np.partition(s, len(s) - keep)[len(s) - keep]
+                cand = np.flatnonzero(s >= cut)  # all ties at the cut included
+            else:
+                cand = np.arange(len(s))
+            sel = cand[np.lexsort((ids[cand], -s[cand]))[:keep]]
+            for j in sel:
                 out_q.append(self.q_ids[qi])
                 out_n.append(ids[j])
-                out_s.append(sims[qi, j])
+                out_s.append(s[j])
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "neighbor_id": pa.array(out_n, pa.int64()),
                          "cosine": pa.array(out_s, pa.float64())})

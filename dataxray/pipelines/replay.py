@@ -80,15 +80,21 @@ def _merge_tables(p: int, tables: list[pa.Table], lake_root: str, run_id: str,
     never read, so an epoch touching k rows costs O(k), not O(partition);
     when the partition accumulates compact_threshold deltas the task
     compacts (full merge + rewrite) instead."""
+    from ..stages.merge import strip_counts
+
     events = tables[0] if len(tables) == 1 else pa.concat_tables(
         tables, promote_options="permissive"
     )
     # -1 = virgin partition: even txn 0 (base-page bootstrap) is unapplied
     watermark = wm.get(p, -1)
     events = events.filter(pc.greater(events["txn_id"], watermark))
+    # exact applied-event accounting: _cnt sums the source rows each combiner
+    # winner absorbed; rows at/below the watermark were applied by a prior run
+    events, n_events = strip_counts(events)
     if len(events) == 0:
         return {"partition": p, "txn_hi": watermark, "staged": [],
-                "row_count": 0, "num_bytes": 0, "noop": True, "mode": "none"}
+                "row_count": 0, "num_bytes": 0, "noop": True, "mode": "none",
+                "n_events": 0}
     part_lake = Lake(lake_root)
     txn_hi = max(watermark, pc.max(events["txn_id"]).as_py())
     manifest = part_lake.manifest(p)
@@ -107,7 +113,7 @@ def _merge_tables(p: int, tables: list[pa.Table], lake_root: str, run_id: str,
     meta = part_lake.write_staged(run_id, p, merged)
     return {"partition": p, "txn_hi": txn_hi, "staged": meta["staged"],
             "row_count": meta["row_count"], "num_bytes": meta["num_bytes"],
-            "noop": False, "mode": mode}
+            "noop": False, "mode": mode, "n_events": n_events}
 
 
 def _warn_if_backlog_exceeds_memory(events_dir: str, low: int) -> None:
@@ -251,12 +257,16 @@ def replay(
                         auto_salt=cfg.auto_salt, hot_frac=cfg.hot_frac),
         batch_format="pyarrow", batch_size=cfg.batch_size,
     )
-    ds = ds.map_batches(BatchCombiner(), batch_format="pyarrow", batch_size=cfg.batch_size)
+    ds = ds.map_batches(BatchCombiner(counted=True), batch_format="pyarrow",
+                        batch_size=cfg.batch_size)
 
     if cfg.num_salts > 1:
-        # stage A: per-(part,salt) partial LWW winners (hot-url mitigation)
+        # stage A: per-(part,salt) partial LWW winners (hot-url mitigation);
+        # counted so _cnt keeps summing through the partial reduce
+        from ..stages.merge import lww_reduce_counted
+
         ds = ds.groupby(SALT_COL).map_groups(
-            lambda g: lww_reduce(g), batch_format="pyarrow"
+            lambda g: lww_reduce_counted(g), batch_format="pyarrow"
         )
         ds = ds.drop_columns([SALT_COL])
 
@@ -282,7 +292,8 @@ def replay(
                  "row_count": pa.array([m["row_count"]]),
                  "num_bytes": pa.array([m["num_bytes"]]),
                  "noop": pa.array([m["noop"]]),
-                 "mode": pa.array([m["mode"]])}
+                 "mode": pa.array([m["mode"]]),
+                 "n_events": pa.array([m["n_events"]], pa.int64())}
             )
 
         meta_rows = ds.groupby(PART_COL).map_groups(
@@ -294,7 +305,10 @@ def replay(
     if dirty_dir is not None:
         n_dirty = check_budget(dirty_dir, rows_hint, cfg.error_limit)
     report.total_error_records = n_dirty
-    report.read_succeed_records = rows_hint - n_dirty
+    # exact applied count from the merge side (sum of post-watermark-filter
+    # source events per partition) — the footer rows hint would double-count
+    # rows re-read from unpruned files on incremental epochs
+    report.read_succeed_records = sum(int(m["n_events"]) for m in meta_rows)
 
     # ---- exactly-once commit loop (driver, label = (partition, txn_hi)) ----
     for m in meta_rows:

@@ -49,21 +49,36 @@ def replay_chunked(
     if lake.exists():
         low = global_low_watermark(lake.watermarks(), lake.num_partitions())
     files = prune_files(scan_event_files(events_dir), low)
-    files = sorted(files, key=lambda f: f.txn_lo)
+    files = sorted(files, key=lambda f: (f.txn_lo, f.path))
     if not files:
         # nothing to chunk — delegate (handles the pages-only bootstrap and
         # the fully-caught-up no-op exactly like a plain replay)
         return [replay(events_dir, lake_dir, pages_path=pages_path, cfg=cfg)]
 
+    # Group files whose txn ranges overlap into one unit BEFORE sizing chunks:
+    # a transaction split across files must never straddle a chunk boundary —
+    # chunk i's uniform watermark advance would make chunk i+1 filter the
+    # txn's later rows as already-applied (silent event loss). Within a chunk
+    # the overlap is safe: replay()'s own txn_aligned check sees it and
+    # disables that chunk's uniform advance, while per-partition commits still
+    # see every row of the txn together.
+    units: list[tuple[list, int]] = []  # (files, range txn_hi)
+    for f in files:
+        if units and f.txn_lo <= units[-1][1]:
+            units[-1][0].append(f)
+            units[-1] = (units[-1][0], max(units[-1][1], f.txn_hi))
+        else:
+            units.append(([f], f.txn_hi))
+
     chunks: list[list] = [[]]
     size = 0
-    for f in files:
-        fsize = os.path.getsize(f.path)
-        if chunks[-1] and size + fsize > max_chunk_bytes:
+    for unit, _hi in units:
+        usize = sum(os.path.getsize(f.path) for f in unit)
+        if chunks[-1] and size + usize > max_chunk_bytes:
             chunks.append([])
             size = 0
-        chunks[-1].append(f)
-        size += fsize
+        chunks[-1].extend(unit)  # an oversize unit still stays whole
+        size += usize
 
     reports = []
     chunk_dir_base = os.path.join("/tmp", "dataxray_chunks", uuid.uuid4().hex[:8])

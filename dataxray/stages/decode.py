@@ -10,6 +10,8 @@ Validation rules (dirty fixture, FIXTURES.md §4):
   * url must be non-null / non-empty,
   * op must be one of {I, U, D},
   * txn_id must be non-null and >= 0 (no txn regression below the epoch),
+  * seq must be non-null and >= 0 (a null seq becomes NaN in the LWW
+    lexsort and would silently WIN against every same-txn event),
   * I/U events must carry a non-null text payload (D rows are all-null).
 
 Vectorized: one boolean mask per batch via pyarrow.compute — no row loop.
@@ -34,6 +36,13 @@ def _rules(batch: pa.Table) -> list[tuple[str, pa.Array]]:
         ("txn_regression",
          pc.and_(batch["txn_id"].is_valid(), pc.greater_equal(batch["txn_id"], 0))),
     ]
+    if "seq" in batch.column_names:
+        # a null seq would turn into NaN in the lexsort and order LAST —
+        # silently beating every same-txn event — so it must go dirty
+        rules.append((
+            "null_seq",
+            pc.and_(batch["seq"].is_valid(), pc.greater_equal(batch["seq"], 0)),
+        ))
     if "text" in batch.column_names:
         rules.append((
             "null_payload",

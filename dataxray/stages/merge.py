@@ -26,9 +26,17 @@ import pyarrow.compute as pc
 from ..schema import OP_DELETE, OP_INSERT, align_table, state_schema
 
 ORDER = [("txn_id", "ascending"), ("seq", "ascending")]
+CNT_COL = "_cnt"  # source events collapsed into each combiner winner
 
 
-def lww_winner_indices(table: pa.Table, key: str = "url") -> np.ndarray:
+def _key_codes(table: pa.Table, key: str) -> np.ndarray:
+    return pc.dictionary_encode(table[key].combine_chunks()).indices.to_numpy(
+        zero_copy_only=False
+    )
+
+
+def lww_winner_indices(table: pa.Table, key: str = "url",
+                       codes: np.ndarray | None = None) -> np.ndarray:
     """Row indices of the winning (max (txn_id, seq)) event per key.
 
     Key-only reduction: dictionary-encode the key and lexsort just the three
@@ -36,9 +44,8 @@ def lww_winner_indices(table: pa.Table, key: str = "url") -> np.ndarray:
     the caller does ONE take of the surviving rows. This is what keeps the
     map phase memory-bandwidth-light at scale (a full-table sort_by rewrites
     every KB-sized row; this touches ~16 bytes/row)."""
-    codes = pc.dictionary_encode(table[key].combine_chunks()).indices.to_numpy(
-        zero_copy_only=False
-    )
+    if codes is None:
+        codes = _key_codes(table, key)
     txn = table["txn_id"].combine_chunks().to_numpy(zero_copy_only=False)
     seq = table["seq"].combine_chunks().to_numpy(zero_copy_only=False)
     order = np.lexsort((seq, txn, codes))
@@ -62,17 +69,53 @@ def lww_reduce(table: pa.Table, key: str = "url") -> pa.Table:
     return table.take(pa.array(np.sort(idx)))
 
 
+def lww_reduce_counted(table: pa.Table, key: str = "url") -> pa.Table:
+    """lww_reduce that also carries ``_cnt``: how many source events each
+    winner absorbed (summed across partial reduces). The merge stage sums the
+    post-watermark-filter counts to report *exact* applied-event totals
+    (RunReport.read_succeed_records) instead of the unpruned file-footer rows
+    hint, which double-counts rows re-read on incremental epochs."""
+    n = len(table)
+    if CNT_COL in table.column_names:
+        cnt = table[CNT_COL].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = np.asarray(cnt, dtype=np.int64)
+        table = table.drop_columns([CNT_COL])
+    else:
+        cnt = np.ones(n, dtype=np.int64)
+    if n <= 1:
+        return table.append_column(CNT_COL, pa.array(cnt))
+    codes = _key_codes(table, key)
+    idx = np.sort(lww_winner_indices(table, key, codes=codes))
+    sums = np.bincount(codes, weights=cnt).astype(np.int64)
+    out = table if len(idx) == n else table.take(pa.array(idx))
+    return out.append_column(CNT_COL, pa.array(sums[codes[idx]]))
+
+
+def strip_counts(table: pa.Table) -> tuple[pa.Table, int]:
+    """Remove ``_cnt`` and return (table, total source events it stood for)."""
+    if CNT_COL not in table.column_names:
+        return table, len(table)
+    total = pc.sum(table[CNT_COL]).as_py() or 0
+    return table.drop_columns([CNT_COL]), int(total)
+
+
 def drop_tombstones(table: pa.Table) -> pa.Table:
     return table.filter(pc.not_equal(table["op"], OP_DELETE))
 
 
 class BatchCombiner:
-    """map_batches pre-shuffle combiner: one surviving event per url per batch."""
+    """map_batches pre-shuffle combiner: one surviving event per url per batch.
 
-    def __init__(self, key: str = "url"):
+    counted=True threads the ``_cnt`` absorbed-event column through the
+    shuffle (8 bytes/winner) so the merge can report exact applied counts."""
+
+    def __init__(self, key: str = "url", counted: bool = False):
         self.key = key
+        self.counted = counted
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.counted:
+            return lww_reduce_counted(batch, self.key)
         return lww_reduce(batch, self.key)
 
 

@@ -19,7 +19,7 @@ from dataclasses import asdict, dataclass, field
 @dataclass
 class RunReport:
     run_id: str
-    read_succeed_records: int = 0  # valid events ingested this run
+    read_succeed_records: int = 0  # valid events APPLIED this run (post-watermark)
     total_error_records: int = 0  # dirty rows captured
     write_succeed_records: int = 0  # rows in committed partition states
     partitions_committed: int = 0

@@ -91,6 +91,27 @@ def test_error_limit_enforced_via_filter_errors(tmp_path):
         run_job(job)
 
 
+def test_error_percentage_denominator_with_csv_sink(tmp_path):
+    """Clean rows must count toward the percentage denominator even when the
+    sink is CSV (no parquet footers to re-scan): 1 dirty / 3 total = 0.33
+    passes a 0.5 budget. A sink-dir re-scan would compute 1/1 = 1.0 and fail."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(pa.table({"k": ["1", "2", "oops"]}), src)
+    out = str(tmp_path / "csvout")
+    job = {"job": {
+        "setting": {"errorLimit": {"percentage": 0.5}},
+        "content": [{
+            "reader": {"name": "parquetreader", "parameter": {
+                "path": src, "cast": {"k": "long"}}},
+            "writer": {"name": "csvwriter", "parameter": {"path": out, "writeMode": "truncate"}},
+        }]}}
+    rep = run_job(job)
+    assert rep["content"][0]["totalErrorRecords"] == 1
+
+
 def test_rate_limit_slows_job(tmp_path):
     import time
 

@@ -60,6 +60,41 @@ def test_tail_consumes_live_appends(tmp_path):
     assert got["text"].tolist() == oracle["text"].tolist()
 
 
+def test_chunked_replay_keeps_split_txn_in_one_chunk(tmp_path):
+    """A transaction whose rows straddle two WAL files must not straddle a
+    chunk boundary: chunk i's watermark advance would silently drop the
+    txn's later rows in chunk i+1 (the failure mode txn_aligned guards)."""
+    import pyarrow.parquet as pq
+
+    from dataxray.pipelines.tail import replay_chunked
+    from dataxray.schema import EVENT_SCHEMA
+
+    def ev(url, txn, seq, op, text):
+        return {"url": url, "txn_id": txn, "seq": seq, "op": op,
+                "warc_ts": 0, "html": b"", "text": text, "lang": "en"}
+
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    # file A: txns 1..5 (txn 5 split: seq 0 here) — footer hi = 5
+    a = pa.Table.from_pylist(
+        [ev("https://u1", 1, 0, "I", "v1"), ev("https://u2", 2, 0, "I", "w1"),
+         ev("https://u1", 5, 0, "U", "loser")], schema=EVENT_SCHEMA)
+    # file B: txn 5 continues (seq 1 WINS) then txn 6 — footer lo = 5
+    b = pa.Table.from_pylist(
+        [ev("https://u1", 5, 1, "U", "winner"), ev("https://u2", 6, 0, "U", "w2")],
+        schema=EVENT_SCHEMA)
+    pq.write_table(a, os.path.join(wal, "events-00000.parquet"))
+    pq.write_table(b, os.path.join(wal, "events-00001.parquet"))
+
+    # max_chunk_bytes=1 would put each file in its own chunk by size alone;
+    # the overlap (5 ∈ both ranges) must force them into ONE chunk
+    replay_chunked(wal, str(tmp_path / "lake"),
+                   cfg=ReplayConfig(num_partitions=2), max_chunk_bytes=1)
+    got = Lake(str(tmp_path / "lake")).read_all().to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert got["text"].tolist() == ["winner", "w2"]
+
+
 def test_chunked_replay_matches_oracle(tmp_path):
     from dataxray.pipelines.tail import replay_chunked
 
