@@ -89,18 +89,17 @@ def sweep_staging(lake_root: str, max_age_sec: float = 3600.0) -> int:
     """Remove orphaned staging dirs left by crashed runs (their commits never
     landed, so the files are dead weight). Age-gated so a concurrently
     running replay's staging survives."""
-    import shutil
+    from ..state import lakefs
 
-    staging = os.path.join(lake_root, "_staging")
-    if not os.path.isdir(staging):
-        return 0
+    fs, base = lakefs.resolve(lake_root)
+    staging = os.path.join(base, "_staging")
     removed = 0
     now = time.time()
-    for name in os.listdir(staging):
+    for name in fs.list_names(staging):
         d = os.path.join(staging, name)
         try:
-            if now - os.path.getmtime(d) > max_age_sec:
-                shutil.rmtree(d, ignore_errors=True)
+            if now - fs.mtime(d) > max_age_sec:
+                fs.delete_tree(d)
                 removed += 1
         except FileNotFoundError:  # pragma: no cover
             continue

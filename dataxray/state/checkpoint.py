@@ -36,10 +36,12 @@ class RunReport:
         return self
 
     def write(self, lake_root: str) -> None:
-        d = os.path.join(lake_root, "_runs")
-        os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, f"{self.run_id}.json"), "w") as f:
-            json.dump(asdict(self), f, indent=1)
+        from . import lakefs
+
+        fs, base = lakefs.resolve(lake_root)
+        d = os.path.join(base, "_runs")
+        fs.makedirs(d)
+        fs.put_json(os.path.join(d, f"{self.run_id}.json"), asdict(self))
 
 
 def global_low_watermark(watermarks: dict[int, int], num_partitions: int) -> int:

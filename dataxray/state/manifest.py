@@ -21,37 +21,28 @@ Layout:
       _staging/<run_id>/part-00007/data-<uuid>.parquet
       part=00007/txn=0000000042/data-<uuid>.parquet
 
-On a multi-node cluster this root lives on shared storage (S3/HDFS); renames
-become copy+delete or a conditional put of the manifest — the protocol itself
-(staged uuid files + label-deduped manifest swap) is unchanged.
+Storage is abstracted behind ``state.lakefs``: a plain path commits via
+atomic rename (local/HDFS semantics); a ``mocks3://`` / ``s3://`` root runs
+the SAME protocol with object-store semantics only — staged-object PUT,
+server-side copy + delete to finalize, single-object manifest PUT as the
+commit point, no rename anywhere (lakefs.ObjectLakeFS).
 """
 
 from __future__ import annotations
 
 import base64
-import json
 import os
-import shutil
 import uuid
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from ..hashing import partitioner_id
 from ..schema import unify
+from . import lakefs
 
 META = "_meta.json"
 MANIFESTS = "_manifests"
 STAGING = "_staging"
-
-
-def _atomic_write_json(path: str, obj: dict) -> None:
-    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
 
 
 def _schema_to_b64(schema: pa.Schema) -> str:
@@ -64,18 +55,24 @@ def _schema_from_b64(s: str) -> pa.Schema:
 
 class Lake:
     def __init__(self, root: str):
+        # root keeps its scheme (mocks3://… / s3://…) so merge tasks on other
+        # nodes reconstruct the same backend from the same string
         self.root = root
+        self.fs, self.base = lakefs.resolve(root)
+
+    def _p(self, *parts: str) -> str:
+        return os.path.join(self.base, *parts)
 
     # ---------- meta ----------
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.root, META))
+        return self.fs.exists(self._p(META))
 
     def init(
         self, num_partitions: int, event_schema: pa.Schema, pages_path: str | None = None
     ) -> None:
-        os.makedirs(os.path.join(self.root, MANIFESTS), exist_ok=True)
-        _atomic_write_json(
-            os.path.join(self.root, META),
+        self.fs.makedirs(self._p(MANIFESTS))
+        self.fs.put_json(
+            self._p(META),
             {
                 "partitioner": partitioner_id(),
                 "num_partitions": num_partitions,
@@ -97,8 +94,7 @@ class Lake:
         return meta["bootstrap_pages"]
 
     def meta(self) -> dict:
-        with open(os.path.join(self.root, META)) as f:
-            return json.load(f)
+        return self.fs.read_json(self._p(META))
 
     def num_partitions(self) -> int:
         return self.meta()["num_partitions"]
@@ -122,36 +118,32 @@ class Lake:
         meta = self.meta()
         merged = unify([self.event_schema(), new_event_schema])
         meta["event_schema"] = _schema_to_b64(merged)
-        _atomic_write_json(os.path.join(self.root, META), meta)
+        self.fs.put_json(self._p(META), meta)
 
     # ---------- manifests ----------
     def _manifest_path(self, p: int) -> str:
-        return os.path.join(self.root, MANIFESTS, f"part-{p:05d}.json")
+        return self._p(MANIFESTS, f"part-{p:05d}.json")
 
     def manifest(self, p: int) -> dict | None:
         path = self._manifest_path(p)
-        if not os.path.exists(path):
+        if not self.fs.exists(path):
             return None
-        with open(path) as f:
-            return json.load(f)
+        return self.fs.read_json(path)
 
     def watermarks(self) -> dict[int, int]:
         """Per-partition committed txn_hi — the resumable checkpoint."""
         out: dict[int, int] = {}
-        mdir = os.path.join(self.root, MANIFESTS)
-        if not os.path.isdir(mdir):
-            return out
-        for name in os.listdir(mdir):
+        mdir = self._p(MANIFESTS)
+        for name in self.fs.list_names(mdir):
             if name.startswith("part-") and name.endswith(".json"):
-                with open(os.path.join(mdir, name)) as f:
-                    m = json.load(f)
+                m = self.fs.read_json(os.path.join(mdir, name))
                 out[m["partition"]] = m["txn_hi"]
         return out
 
     # ---------- staging / data ----------
     def stage_dir(self, run_id: str, p: int) -> str:
-        d = os.path.join(self.root, STAGING, run_id, f"part-{p:05d}")
-        os.makedirs(d, exist_ok=True)
+        d = self._p(STAGING, run_id, f"part-{p:05d}")
+        self.fs.makedirs(d)
         return d
 
     COMPRESSION = "zstd"  # lake files are long-lived: trade CPU for bytes
@@ -160,7 +152,7 @@ class Lake:
         """Called from inside merge tasks: write new partition state, return
         commit metadata (a small row — the data itself never re-shuffles)."""
         path = os.path.join(self.stage_dir(run_id, p), f"data-{uuid.uuid4().hex}.parquet")
-        pq.write_table(table, path, compression=self.COMPRESSION)
+        self.fs.write_parquet(table, path, compression=self.COMPRESSION)
         return {
             "partition": p,
             "staged": [path],
@@ -172,7 +164,7 @@ class Lake:
         m = self.manifest(p)
         if m is None:
             return []
-        return [os.path.join(self.root, f) for f in m["files"]]
+        return [self._p(f) for f in m["files"]]
 
     def read_state_raw(self, p: int) -> pa.Table | None:
         """Concat of base + delta files — may contain superseded rows and
@@ -181,7 +173,7 @@ class Lake:
         if not files:
             return None
         return pa.concat_tables(
-            [pq.read_table(f) for f in files], promote_options="permissive"
+            [self.fs.read_parquet(f) for f in files], promote_options="permissive"
         )
 
     # kept as the merge-path API: raw is correct input for an LWW merge
@@ -225,16 +217,15 @@ class Lake:
         )
         if replayed:
             for s in staged:  # replayed label → drop the duplicate output
-                if os.path.exists(s):
-                    os.remove(s)
+                self.fs.delete_file(s)
             return "skipped"
-        final_dir = os.path.join(self.root, f"part={p:05d}", f"txn={txn_hi:010d}")
-        os.makedirs(final_dir, exist_ok=True)
+        final_dir = self._p(f"part={p:05d}", f"txn={txn_hi:010d}")
+        self.fs.makedirs(final_dir)
         rel_files = []
         for s in staged:
             dest = os.path.join(final_dir, os.path.basename(s))
-            os.replace(s, dest)
-            rel_files.append(os.path.relpath(dest, self.root))
+            self.fs.finalize(s, dest)  # rename (local) / copy+delete (object)
+            rel_files.append(os.path.relpath(dest, self.base))
         if mode == "watermark":
             files = list(cur["files"]) if cur else []
             n_deltas = cur.get("n_deltas", 0) if cur else 0
@@ -247,7 +238,7 @@ class Lake:
         else:
             files = rel_files
             n_deltas = 0
-        _atomic_write_json(
+        self.fs.put_json(
             self._manifest_path(p),
             {
                 "partition": p,
@@ -266,13 +257,11 @@ class Lake:
 
     def _gc_partition(self, p: int, live_rel_files: list[str]) -> None:
         """Drop txn dirs no longer referenced by the manifest — best-effort."""
-        pdir = os.path.join(self.root, f"part={p:05d}")
-        if not os.path.isdir(pdir):
-            return
+        pdir = self._p(f"part={p:05d}")
         live_dirs = {os.path.basename(os.path.dirname(f)) for f in live_rel_files}
-        for name in os.listdir(pdir):
+        for name in self.fs.list_names(pdir):
             if name.startswith("txn=") and name not in live_dirs:
-                shutil.rmtree(os.path.join(pdir, name), ignore_errors=True)
+                self.fs.delete_tree(os.path.join(pdir, name))
 
     def compact_partition(self, p: int, run_id: str | None = None) -> str:
         """Resolve a partition's base+deltas into one base file at the same
@@ -315,7 +304,7 @@ class Lake:
         return sum(self.compact_partition(p) == "committed" for p in parts)
 
     def cleanup_staging(self, run_id: str) -> None:
-        shutil.rmtree(os.path.join(self.root, STAGING, run_id), ignore_errors=True)
+        self.fs.delete_tree(self._p(STAGING, run_id))
 
     # ---------- reads ----------
     def all_files(self) -> list[str]:
@@ -345,6 +334,8 @@ class Lake:
                       for f in self.partition_files(p)]
         pieces = []
         if base_files:
+            if self.fs.pafs is not None and "filesystem" not in kwargs:
+                kwargs = {**kwargs, "filesystem": self.fs.pafs}
             pieces.append(ray.data.read_parquet(base_files, **kwargs))
         if delta_parts:
             root = self.root

@@ -9,6 +9,7 @@ never committed (bootstrap_pages in lake _meta)."""
 import os
 
 import pyarrow as pa
+import pytest
 
 from dataxray.gen import GenConfig, generate_event_shard, generate_pages, sequential_oracle, write_dataset
 from dataxray.pipelines.replay import ReplayConfig, replay
@@ -16,11 +17,16 @@ from dataxray.state.manifest import Lake
 
 CFG = GenConfig(n_urls=400, n_events=4_000, n_shards=4, html_mean=32)
 
+# "mocks3" runs the identical protocol through ObjectLakeFS: staged-object
+# put + server-side copy + manifest PUT, no rename anywhere (lakefs.py)
+SCHEMES = ["", "mocks3://"]
 
-def test_partial_commit_then_resume_matches_oracle(tmp_path, monkeypatch):
+
+@pytest.mark.parametrize("scheme", SCHEMES)
+def test_partial_commit_then_resume_matches_oracle(tmp_path, monkeypatch, scheme):
     d = str(tmp_path / "data")
     write_dataset(d, CFG, parallel=False)
-    lake_dir = str(tmp_path / "lake")
+    lake_dir = scheme + str(tmp_path / "lake")
 
     # crash after 3 commits: monkeypatch commit to stop committing (the rest
     # of the driver loop still runs, matching a killed process whose staged

@@ -13,6 +13,10 @@ from dataxray.state.manifest import Lake
 
 CFG = GenConfig(n_urls=250, n_events=4_000, n_shards=8, html_mean=32, zipf_s=1.2)
 
+# every test runs on the rename backend ("") AND the no-rename object-store
+# backend ("mocks3://" -> lakefs.ObjectLakeFS: put/copy/delete only)
+pytestmark = pytest.mark.parametrize("scheme", ["", "mocks3://"])
+
 
 @pytest.fixture(scope="module")
 def data_dir(tmp_path_factory):
@@ -48,8 +52,8 @@ def assert_oracle(lake_dir, oracle_df):
     assert got["txn_id"].tolist() == oracle_df["txn_id"].tolist()
 
 
-def test_delta_epochs_match_oracle(data_dir, oracle_df, tmp_path):
-    lake = str(tmp_path / "lake")
+def test_delta_epochs_match_oracle(data_dir, oracle_df, tmp_path, scheme):
+    lake = scheme + str(tmp_path / "lake")
     cfg = ReplayConfig(num_partitions=4, sink_mode="delta", compact_threshold=100)
     _epoch_replay(data_dir, lake, cfg, tmp_path)
     # deltas actually accumulated (no compaction at threshold 100)
@@ -58,8 +62,8 @@ def test_delta_epochs_match_oracle(data_dir, oracle_df, tmp_path):
     assert_oracle(lake, oracle_df)
 
 
-def test_delta_with_compaction_matches_oracle(data_dir, oracle_df, tmp_path):
-    lake = str(tmp_path / "lake")
+def test_delta_with_compaction_matches_oracle(data_dir, oracle_df, tmp_path, scheme):
+    lake = scheme + str(tmp_path / "lake")
     cfg = ReplayConfig(num_partitions=4, sink_mode="delta", compact_threshold=3)
     _epoch_replay(data_dir, lake, cfg, tmp_path)
     assert_oracle(lake, oracle_df)
@@ -67,10 +71,10 @@ def test_delta_with_compaction_matches_oracle(data_dir, oracle_df, tmp_path):
     assert all(Lake(lake).num_files(p) <= 3 for p in range(4))
 
 
-def test_delta_writes_less_than_rewrite(data_dir, tmp_path):
+def test_delta_writes_less_than_rewrite(data_dir, tmp_path, scheme):
     """The point of deltas: an epoch writes O(epoch), not O(partition)."""
-    lake_d = str(tmp_path / "ld")
-    lake_r = str(tmp_path / "lr")
+    lake_d = scheme + str(tmp_path / "ld")
+    lake_r = scheme + str(tmp_path / "lr")
     cfg_d = ReplayConfig(num_partitions=4, sink_mode="delta", compact_threshold=100)
     cfg_r = ReplayConfig(num_partitions=4)
     _epoch_replay(data_dir, lake_d, cfg_d, tmp_path / "a")
@@ -78,7 +82,10 @@ def test_delta_writes_less_than_rewrite(data_dir, tmp_path):
     import json, glob
 
     def last_commit_rows(lake):
-        runs = sorted(glob.glob(os.path.join(lake, "_runs", "*.json")),
+        from dataxray.state import lakefs
+
+        base = lakefs.resolve(lake)[1]  # mocks3 bytes live on local disk
+        runs = sorted(glob.glob(os.path.join(base, "_runs", "*.json")),
                       key=os.path.getmtime)
         with open(runs[-1]) as f:
             return json.load(f)["write_succeed_records"]
@@ -86,8 +93,8 @@ def test_delta_writes_less_than_rewrite(data_dir, tmp_path):
     assert last_commit_rows(lake_d) < last_commit_rows(lake_r)
 
 
-def test_dataset_read_resolves_deltas(data_dir, oracle_df, tmp_path):
-    lake = str(tmp_path / "lake")
+def test_dataset_read_resolves_deltas(data_dir, oracle_df, tmp_path, scheme):
+    lake = scheme + str(tmp_path / "lake")
     cfg = ReplayConfig(num_partitions=4, sink_mode="delta", compact_threshold=100)
     _epoch_replay(data_dir, lake, cfg, tmp_path)
     ds = Lake(lake).dataset()
@@ -97,10 +104,10 @@ def test_dataset_read_resolves_deltas(data_dir, oracle_df, tmp_path):
     assert got == oracle_df["url"].tolist()
 
 
-def test_explicit_compaction(data_dir, oracle_df, tmp_path):
+def test_explicit_compaction(data_dir, oracle_df, tmp_path, scheme):
     """Lake.compact_all resolves deltas into single bases at unchanged
     watermarks; state and subsequent replays are unaffected."""
-    lake_dir = str(tmp_path / "lake")
+    lake_dir = scheme + str(tmp_path / "lake")
     cfg = ReplayConfig(num_partitions=4, sink_mode="delta", compact_threshold=100)
     _epoch_replay(data_dir, lake_dir, cfg, tmp_path)
     lake = Lake(lake_dir)

@@ -51,15 +51,14 @@ def main() -> None:
     print(f"txn watermark: low={lo} high={hi}  (lag spread {0 if lo is None else hi - lo})")
     print(f"files: {total_files}  delta files: {total_deltas}  "
           f"last-commit rows: {total_rows:,}  bytes: {total_bytes:,}")
-    runs_dir = os.path.join(root, "_runs")
-    if os.path.isdir(runs_dir):
-        runs = sorted(os.listdir(runs_dir),
-                      key=lambda f: os.path.getmtime(os.path.join(runs_dir, f)))
+    runs_dir = os.path.join(lake.base, "_runs")
+    if lake.fs.isdir(runs_dir):
+        runs = sorted(lake.fs.list_names(runs_dir),
+                      key=lambda f: lake.fs.mtime(os.path.join(runs_dir, f)))
         n = int(sys.argv[sys.argv.index("--runs") + 1]) if "--runs" in sys.argv else 3
         print(f"runs ({len(runs)} total, last {min(n, len(runs))}):")
         for f in runs[-n:]:
-            with open(os.path.join(runs_dir, f)) as fh:
-                r = json.load(fh)
+            r = lake.fs.read_json(os.path.join(runs_dir, f))
             print(f"  {r['run_id']}: read={r['read_succeed_records']:,} "
                   f"wrote={r['write_succeed_records']:,} "
                   f"committed={r['partitions_committed']} txn_hi={r['txn_hi']} "
