@@ -114,6 +114,22 @@ def _langid_sql() -> str:
     )
 
 
+def reference_models() -> dict[str, Callable[[str], Any]]:
+    """Single-process Python/numpy reference models for the deterministic
+    queries DuckDB cannot express (crc32/blake2b hashing, LSH bucketing).
+    tools/check_correctness.py compares these with the same row/schema/value
+    rigor as the SQL oracles; the driver's own gate still records rows-only
+    for these names."""
+    from dataxray import oracle_models as M
+
+    return {
+        "minhash_dedup": M.minhash_dedup,
+        "simhash_signatures": M.simhash_signatures,
+        "doc_fingerprints": M.doc_fingerprints,
+        "knn_lsh_top5": M.knn_lsh_top5,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_replay": _CDC_SQL,

@@ -112,8 +112,19 @@ def explode_bands(batch: pa.Table, num_bands: int, id_col: str = "doc_id") -> pa
     return pa.table({"band_key": pa.array(keys, pa.string()), id_col: pa.array(ids)})
 
 
-def candidate_pairs_from_bucket(g: pa.Table, id_col: str = "doc_id") -> pa.Table:
+def candidate_pairs_from_bucket(g: pa.Table, id_col: str = "doc_id",
+                                max_bucket: int = 256) -> pa.Table:
+    """All unordered pairs within one LSH bucket, capped: pair expansion is
+    O(b²), so one degenerate bucket (e.g. many empty texts → identical
+    signature) would explode — the classic skewed-key hazard. Over the cap we
+    keep the first max_bucket ids (sorted: deterministic) and log the drop;
+    real dup clusters that large are better handled by exact_dedup on the
+    degenerate key."""
     ids = sorted(g[id_col].to_pylist())
+    if len(ids) > max_bucket:
+        print(f"[dedup] LSH bucket of {len(ids)} docs capped to {max_bucket} "
+              f"({len(ids) - max_bucket} dropped)")
+        ids = ids[:max_bucket]
     a, b = [], []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
@@ -131,18 +142,41 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / max(len(sa | sb), 1)
 
 
+class Shingler:
+    """map_batches stage emitting each doc's distinct shingle hashes as a
+    list column — the verify currency that lets exact Jaccard run as a keyed
+    join instead of re-reading (or broadcasting) the corpus text."""
+
+    def __init__(self, shingle_k: int = 3, id_col: str = "doc_id",
+                 id_out: str = "doc_id", sh_out: str = "shingles"):
+        self.mh = MinHasher(shingle_k=shingle_k)
+        self.id_col, self.id_out, self.sh_out = id_col, id_out, sh_out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # packed uint64 bytes, not list<int64>: Acero hash joins reject list
+        # payload columns; np.frombuffer unpacks zero-copy on the verify side
+        sh = [self.mh.shingles(t or "").tobytes()
+              for t in batch["text"].to_pylist()]
+        return pa.table({self.id_out: pc.cast(batch[self.id_col], pa.int64()),
+                         self.sh_out: pa.array(sh, pa.binary())})
+
+
 def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
                         shingle_k: int = 3, threshold: float = 0.7,
-                        id_col: str = "doc_id"):
+                        id_col: str = "doc_id", max_bucket: int = 256,
+                        join_partitions: int = 8):
     """Full MinHash-LSH near-dup pipeline → verified candidate pairs
-    (id_a, id_b, jaccard ≥ threshold). Text lookup for verification is a
-    broadcast of (id → text) — suitable while the dup-candidate set is small
-    relative to the corpus; at 100 TB the verify joins back by id instead."""
-    import ray
+    (id_a, id_b, jaccard ≥ threshold).
 
-    texts_ref = ray.put(
-        {r[id_col]: r["text"] for r in ds.select_columns([id_col, "text"]).take_all()}
-    )
+    Every step is a Dataset transform — nothing materializes the corpus on
+    the driver and nothing broadcasts it to workers:
+      1. signatures per batch (numpy), band-explode, bucket groupby →
+         candidate pairs (bucket size capped: skew guard);
+      2. distinct-ify pairs (a pair can surface from several bands);
+      3. verification = exact shingle-set Jaccard via TWO hash joins:
+         pairs ⋈ shingles(id_a) ⋈ shingles(id_b) — only candidate rows and
+         shingle hash lists shuffle, the text never moves again.
+    """
     sig = ds.map_batches(MinHasher(num_perm, shingle_k), batch_format="pyarrow",
                          batch_size=1024)
     bands = sig.map_batches(
@@ -150,30 +184,38 @@ def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
         batch_format="pyarrow",
     )
     pairs = bands.groupby("band_key").map_groups(
-        lambda g: candidate_pairs_from_bucket(g, id_col), batch_format="pyarrow"
+        lambda g: candidate_pairs_from_bucket(g, id_col, max_bucket),
+        batch_format="pyarrow",
+    )
+    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
-        seen = set()
-        rows = {"id_a": [], "id_b": [], "jaccard": []}
-        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            if (a, b) in seen:
-                continue
-            seen.add((a, b))
-            j = jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k)
-            if j >= threshold:
-                rows["id_a"].append(a)
-                rows["id_b"].append(b)
-                rows["jaccard"].append(j)
-        return pa.table({"id_a": pa.array(rows["id_a"], pa.int64()),
-                         "id_b": pa.array(rows["id_b"], pa.int64()),
-                         "jaccard": pa.array(rows["jaccard"], pa.float64())})
+    sh_a = ds.map_batches(Shingler(shingle_k, id_col, "id_a", "sh_a"),
+                          batch_format="pyarrow", batch_size=1024)
+    sh_b = ds.map_batches(Shingler(shingle_k, id_col, "id_b", "sh_b"),
+                          batch_format="pyarrow", batch_size=1024)
+    joined = pairs.join(sh_a, join_type="inner", num_partitions=join_partitions,
+                        on=("id_a",))
+    joined = joined.join(sh_b, join_type="inner", num_partitions=join_partitions,
+                         on=("id_b",))
 
-    # distinct-ify pairs found in multiple buckets, then verify
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    ).map_batches(verify, batch_format="pyarrow")
+    def verify(batch: pa.Table) -> pa.Table:
+        out = {"id_a": [], "id_b": [], "jaccard": []}
+        for a, b, sa, sb in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist(),
+                                batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist()):
+            sa = set(np.frombuffer(sa, dtype=np.uint64).tolist())
+            sb = set(np.frombuffer(sb, dtype=np.uint64).tolist())
+            j = 1.0 if not sa and not sb else len(sa & sb) / max(len(sa | sb), 1)
+            if j >= threshold:
+                out["id_a"].append(a)
+                out["id_b"].append(b)
+                out["jaccard"].append(j)
+        return pa.table({"id_a": pa.array(out["id_a"], pa.int64()),
+                         "id_b": pa.array(out["id_b"], pa.int64()),
+                         "jaccard": pa.array(out["jaccard"], pa.float64())})
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -253,36 +295,98 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
 # ---------------------------------------------------------------------------
 
 
+def _pairs_between(ids_a, mat_a, ids_b, mat_b, threshold: float) -> pa.Table:
+    """Canonical (id_a < id_b) cosine pairs ≥ threshold between two
+    normalized blocks — one matmul, vectorized extraction."""
+    sims = mat_a @ mat_b.T
+    ii, jj = np.nonzero(sims >= threshold)
+    a, b = ids_a[ii], ids_b[jj]
+    keep = a < b  # canonical order; also drops self-pairs on the diagonal
+    lo, hi = a[keep], b[keep]
+    return pa.table({"id_a": pa.array(lo, type=pa.int64()),
+                     "id_b": pa.array(hi, type=pa.int64()),
+                     "cosine": pa.array(sims[ii[keep], jj[keep]], pa.float64())})
+
+
+def _norm_block(batch: pa.Table, id_col: str, vec_col: str):
+    ids = np.asarray(batch[id_col].combine_chunks().to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    return ids, mat
+
+
 def embedding_dup_pairs(ds, threshold: float = 0.3, id_col: str = "vec_id",
                         vec_col: str = "embedding"):
-    """Pairs with cosine similarity ≥ threshold. The full matrix is broadcast
-    once via ray.put and each batch does one float64 matmul against it — no
-    shuffle. O(n²) flops: the honest baseline; bucket with LSH (similarity.py)
-    when n² stops fitting."""
+    """EXACT pairs with cosine similarity ≥ threshold, as a distributed
+    block-nested-loop: the dataset's blocks stay in the object store, and one
+    Ray task per unordered block pair (i ≤ j) computes its cross-matmul.
+    Nothing materializes on the driver (it holds only block refs) and no
+    worker ever sees the whole matrix. O(n²) flops is inherent to an exact
+    all-pairs result; when recall < 1 is acceptable, embedding_dup_pairs_lsh
+    buckets first and scores O(bucket²)."""
     import ray
+    import ray.data
 
-    all_rows = ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in all_rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in all_rows])
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-    ref = ray.put((ids, mat))
+    norm = ds.select_columns([id_col, vec_col])
+    refs = norm.to_arrow_refs()
 
-    def block(batch: pa.Table) -> pa.Table:
-        bids, bmat = ray.get(ref)
-        q_ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        q = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
-        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
-        sims = q @ bmat.T
-        out_a, out_b, out_s = [], [], []
-        for i in range(sims.shape[0]):
-            hit = np.nonzero(sims[i] >= threshold)[0]
-            for j in hit:
-                if q_ids[i] < bids[j]:  # canonical (a<b), skips self-pairs
-                    out_a.append(q_ids[i])
-                    out_b.append(bids[j])
-                    out_s.append(sims[i, j])
-        return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                         "id_b": pa.array(out_b, pa.int64()),
-                         "cosine": pa.array(out_s, pa.float64())})
+    @ray.remote(num_cpus=1)
+    def cross(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ids_a, mat_a = _norm_block(ta, id_col, vec_col)
+        if same:
+            return _pairs_between(ids_a, mat_a, ids_a, mat_a, threshold)
+        ids_b, mat_b = _norm_block(tb, id_col, vec_col)
+        return _pairs_between(ids_a, mat_a, ids_b, mat_b, threshold)
 
-    return ds.map_batches(block, batch_format="pyarrow", batch_size=256)
+    out = [cross.remote(refs[i], refs[j], i == j)
+           for i in range(len(refs)) for j in range(i, len(refs))]
+    return ray.data.from_arrow_refs(out)
+
+
+def embedding_dup_pairs_lsh(ds, threshold: float = 0.3, id_col: str = "vec_id",
+                            vec_col: str = "embedding", num_planes: int = 4,
+                            num_tables: int = 8, max_bucket: int = 4096):
+    """Approximate near-dup pairs: random-hyperplane LSH with an
+    OR-construction (num_tables independent sign-bit tables of num_planes
+    each) buckets vectors, then exact cosine runs per bucket. Recall for a
+    pair at cosine s is 1-(1-p^r)^L with p = 1-acos(s)/π — tune (r, L) to the
+    threshold. This is the 100 TB path: only (table, bucket) keys shuffle and
+    scoring is O(bucket²), never O(n²)."""
+    from .similarity import LshBuckets
+
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    tables = [LshBuckets(dim, num_planes, seed=11 + 7 * t) for t in range(num_tables)]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, mat = _norm_block(batch, id_col, vec_col)
+        out_key, out_id, out_vec = [], [], []
+        vecs = batch[vec_col].to_pylist()
+        for t, lsh in enumerate(tables):
+            buckets = lsh.bucket_of(mat)
+            for i in range(len(ids)):
+                out_key.append(f"{t}:{buckets[i]}")
+                out_id.append(ids[i])
+                out_vec.append(vecs[i])
+        return pa.table({"bucket": pa.array(out_key, pa.string()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         vec_col: pa.array(out_vec)})
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        if len(g) > max_bucket:
+            print(f"[dedup] LSH vector bucket of {len(g)} capped to {max_bucket}")
+            g = g.sort_by(id_col).slice(0, max_bucket)
+        if len(g) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        ids, mat = _norm_block(g, id_col, vec_col)
+        return _pairs_between(ids, mat, ids, mat, threshold)
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow", batch_size=1024) \
+        .groupby("bucket").map_groups(score_bucket, batch_format="pyarrow")
+    # a pair can collide in several tables — distinct-ify
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )

@@ -62,22 +62,31 @@ class KnnScorer:
                          "cosine": pa.array(out_s, pa.float64())})
 
 
+def _fetch_query_vectors(ds, query_ids: list[int], id_col: str, vec_col: str):
+    """Materialize ONLY the Q query rows: predicate pushed into map_batches
+    before take_all, so Q rows cross to the driver — never the dataset."""
+    import pyarrow.compute as pc
+
+    vals = pa.array(sorted(set(query_ids)), pa.int64())
+    q_rows = ds.select_columns([id_col, vec_col]).map_batches(
+        lambda t: t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=vals)),
+        batch_format="pyarrow",
+    ).take_all()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    return q_ids, _matrix([r[vec_col] for r in q_rows], vec_col)
+
+
 def knn_bruteforce(ds, query_ids: list[int], k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding"):
     """Exact top-k cosine neighbors for the given query ids (excluding self).
 
-    Two passes: (1) fetch+broadcast the Q query vectors; (2) stream all
-    batches through a scorer emitting per-batch candidates, then a small
-    groupby(query_id) takes the global top-k — only Q×B candidate rows
-    shuffle, never the embeddings."""
+    Two passes: (1) fetch+broadcast the Q query vectors (filtered read — only
+    Q rows reach the driver); (2) stream all batches through a scorer emitting
+    per-batch candidates, then a small groupby(query_id) takes the global
+    top-k — only Q×B candidate rows shuffle, never the embeddings."""
     import ray
-    import pyarrow.compute as pc
 
-    qset = set(query_ids)
-    q_rows = [r for r in ds.select_columns([id_col, vec_col]).take_all()
-              if r[id_col] in qset]
-    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
-    q_mat = _matrix([r[vec_col] for r in q_rows], vec_col)
+    q_ids, q_mat = _fetch_query_vectors(ds, query_ids, id_col, vec_col)
     ref = ray.put((q_ids, q_mat))
 
     cands = ds.map_batches(KnnScorer, fn_constructor_args=(ref, k),
@@ -118,11 +127,7 @@ def knn_lsh(ds, query_ids: list[int], k: int = 5, num_planes: int = 8,
     first = ds.take(1)[0]
     dim = len(first[vec_col])
     lsh = LshBuckets(dim, num_planes)
-    qset = set(query_ids)
-    q_rows = [r for r in ds.select_columns([id_col, vec_col]).take_all()
-              if r[id_col] in qset]
-    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
-    q_mat = _matrix([r[vec_col] for r in q_rows], vec_col)
+    q_ids, q_mat = _fetch_query_vectors(ds, query_ids, id_col, vec_col)
     q_buckets = set(lsh.bucket_of(q_mat).tolist())
     ref = ray.put((q_ids, q_mat))
 

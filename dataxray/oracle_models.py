@@ -1,0 +1,149 @@
+"""Single-process reference models for queries DuckDB cannot express.
+
+Each model recomputes a query's expected result with plain per-row Python /
+numpy — no Ray, no Dataset, no shuffle — so the correctness harness
+(tools/check_correctness.py) can hold the distributed pipelines to full
+row/schema/value equality, the same way test_property_transforms.py checks
+the dx_* transforms against per-row models. Deterministic by construction
+(fixed seeds, no wall clock).
+
+What each model validates: the *distributed composition* (banding, bucket
+groupbys, caps, joins, per-batch partial top-k + global reduce, tie-breaks).
+The innermost per-doc kernels (shingle hashing) are shared with the engine
+where reimplementing them would just duplicate three lines of arithmetic;
+the SimHash and fingerprint models are independent per-row reimplementations.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _docs(sf_dir: str) -> pa.Table:
+    return pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# simhash_signatures — independent per-row reimplementation
+# ---------------------------------------------------------------------------
+
+
+def _simhash64_py(text: str) -> int:
+    counts = [0] * 64
+    toks = (text or "").split()
+    for t in toks:
+        h = (zlib.crc32(t.encode()) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+        for b in range(64):
+            counts[b] += 1 if (h >> b) & 1 else -1
+    sim = 0
+    for b in range(64):
+        if counts[b] > 0:
+            sim |= 1 << b
+    return sim - (1 << 64) if sim >= (1 << 63) else sim  # two's-complement int64
+
+
+def simhash_signatures(sf_dir: str) -> pa.Table:
+    t = _docs(sf_dir)
+    sims = [_simhash64_py(v) for v in t["text"].to_pylist()]
+    return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(sims, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprints — independent per-row blake2b
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprints(sf_dir: str) -> pa.Table:
+    t = _docs(sf_dir)
+    fps = [int.from_bytes(hashlib.blake2b((v or "").encode(), digest_size=8)
+                          .digest(), "big") >> 1
+           for v in t["text"].to_pylist()]
+    return pa.table({"doc_id": t["doc_id"], "fp64": pa.array(fps, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# minhash_dedup — sequential recompute of the LSH composition
+# ---------------------------------------------------------------------------
+
+
+def minhash_dedup(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
+                  shingle_k: int = 3, threshold: float = 0.5,
+                  max_bucket: int = 256) -> pa.Table:
+    from .functions.dedup import MinHasher
+
+    mh = MinHasher(num_perm, shingle_k)
+    t = _docs(sf_dir)
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    shingle_sets = {i: set(mh.shingles(x or "").tolist()) for i, x in zip(ids, texts)}
+
+    buckets: dict[str, list[int]] = {}
+    rows_per_band = num_perm // num_bands
+    for i, x in zip(ids, texts):
+        sig = mh.signature(x or "")
+        for b in range(num_bands):
+            band = sig[b * rows_per_band: (b + 1) * rows_per_band]
+            key = f"{b}:{zlib.crc32(band.tobytes()):08x}"
+            buckets.setdefault(key, []).append(i)
+
+    pairs = set()
+    for members in buckets.values():
+        members = sorted(members)[:max_bucket]
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                pairs.add((members[x], members[y]))
+
+    out = {"id_a": [], "id_b": [], "jaccard": []}
+    for a, b in sorted(pairs):
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        j = 1.0 if not sa and not sb else len(sa & sb) / max(len(sa | sb), 1)
+        if j >= threshold:
+            out["id_a"].append(a)
+            out["id_b"].append(b)
+            out["jaccard"].append(j)
+    return pa.table({"id_a": pa.array(out["id_a"], pa.int64()),
+                     "id_b": pa.array(out["id_b"], pa.int64()),
+                     "jaccard": pa.array(out["jaccard"], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# knn_lsh_top5 — numpy recompute of bucket-filtered exact cosine top-k
+# ---------------------------------------------------------------------------
+
+
+def knn_lsh_top5(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5,
+                 num_planes: int = 8) -> pa.Table:
+    from .functions.similarity import LshBuckets
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    lsh = LshBuckets(mat.shape[1], num_planes)
+    buckets = lsh.bucket_of(mat)
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+
+    q_rows = {int(i): norm[np.nonzero(ids == i)[0][0]] for i in query_ids}
+    q_buckets = {int(buckets[np.nonzero(ids == i)[0][0]]) for i in query_ids}
+    in_bucket = np.isin(buckets, sorted(q_buckets))
+
+    out = {"query_id": [], "neighbor_id": [], "rank": []}
+    for qid in sorted(q_rows):
+        sims = norm[in_bucket] @ q_rows[qid]
+        cand_ids = ids[in_bucket]
+        keep = cand_ids != qid
+        order = np.lexsort((cand_ids[keep], -sims[keep]))[:k]  # sim DESC, id ASC
+        for r, j in enumerate(order, start=1):
+            out["query_id"].append(qid)
+            out["neighbor_id"].append(int(cand_ids[keep][j]))
+            out["rank"].append(r)
+    return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
+                     "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                     "rank": pa.array(out["rank"], pa.int64())})

@@ -133,6 +133,56 @@ def test_embedding_dup_pairs_canonical(embs):
     assert all(p["cosine"] >= 0.2 for p in pairs)
 
 
+def test_embedding_dup_pairs_matches_numpy_allpairs(embs):
+    """The blockwise-distributed exact path must equal a single-process
+    all-pairs reference — same pairs, any block layout."""
+    from dataxray.functions.dedup import embedding_dup_pairs
+
+    sub = embs.limit(200)
+    rows = sub.take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ii, jj = np.nonzero(sims >= 0.3)
+    expect = {(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj) if ids[i] < ids[j]}
+
+    got = {(p["id_a"], p["id_b"])
+           for p in embedding_dup_pairs(sub, threshold=0.3).take_all()}
+    assert got == expect
+
+
+def test_embedding_dup_lsh_recall_vs_exact(embs):
+    """The LSH-bucketed scale path: perfect precision (in-bucket scoring is
+    exact cosine) and measured recall against the exact all-pairs result."""
+    from dataxray.functions.dedup import embedding_dup_pairs, embedding_dup_pairs_lsh
+
+    sub = embs.limit(300)
+    exact = {(p["id_a"], p["id_b"])
+             for p in embedding_dup_pairs(sub, threshold=0.5).take_all()}
+    approx = {(p["id_a"], p["id_b"])
+              for p in embedding_dup_pairs_lsh(sub, threshold=0.5, num_planes=4,
+                                               num_tables=8).take_all()}
+    assert approx <= exact  # precision 1.0 by construction
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.5, f"recall {recall:.2f} too low for (r=4, L=8)"
+
+
+def test_minhash_bucket_cap_bounds_degenerate_buckets():
+    """Hundreds of identical docs share every band bucket; the cap must stop
+    the O(b²) pair explosion (capped pairs, not ~n²/2)."""
+    from dataxray.functions.dedup import minhash_dedup_pairs
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": "same exact duplicated text " * 5} for i in range(60)]
+    )
+    pairs = minhash_dedup_pairs(ds, threshold=0.5, max_bucket=10).take_all()
+    # cap of 10 ids -> at most C(10,2)=45 pairs, never C(60,2)=1770
+    assert 0 < len(pairs) <= 45
+    assert all(p["jaccard"] == 1.0 for p in pairs)
+
+
 def test_multimodal_fake_decode_plumbing():
     from dataxray.functions.multimodal import LibraryDecoder, extract_features
     from dataxray.gen import GenConfig, generate_pages

@@ -90,6 +90,7 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    pymodels = getattr(entrymod, "reference_models", dict)()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -101,7 +102,19 @@ def main():
             failures += 1
             continue
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(got)} rows, cols {sorted(got.columns)}")
+            if name in pymodels:
+                want = to_pandas(pymodels[name](sf_dir))
+                problems = compare(name, got, want)
+                hard = [p for p in problems if not p.startswith("col") or "WARN" not in p]
+                if hard:
+                    print(f"[FAIL] {name} (py-model):")
+                    for p in problems:
+                        print(f"    {p}")
+                    failures += 1
+                else:
+                    print(f"[ok/py-model] {name}: {len(got)} rows")
+            else:
+                print(f"[rows-only] {name}: {len(got)} rows, cols {sorted(got.columns)}")
             continue
         want = con.execute(oracles[name]).fetchdf()
         problems = compare(name, got, want)
