@@ -127,6 +127,7 @@ def reference_models() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": M.simhash_signatures,
         "doc_fingerprints": M.doc_fingerprints,
         "knn_lsh_top5": M.knn_lsh_top5,
+        "multimodal_features": M.multimodal_features,
     }
 
 

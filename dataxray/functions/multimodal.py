@@ -1,39 +1,194 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column operators.
 
 Binary payloads ride as opaque ``large_binary`` columns with typed metadata
 (the lake's ``html`` column is the live example). Decode / feature-extract /
 resize / frame-sample are actor-pool map_batches stages: heavy codec/model
 state in __init__ (once per actor), small batches because rows are KB-MB.
 
-The image/audio codec libraries are NOT in this container, so the decode
-kernels are STUBS — ``DeterministicFakeDecoder`` produces a seeded fake
-"decode" from the payload bytes so the Ray-side plumbing (schema, batch
-sizing, actor signature, output layout) is real and tested, and
-``LibraryDecoder`` raises NotImplementedError until a codec is installed.
+Real decoders implemented with the stdlib (this container has no PIL/ffmpeg):
+  * ``WavDecoder``  — PCM WAV parse via the ``wave`` module → sample-rate /
+    duration / RMS / peak + a per-window RMS feature vector;
+  * ``PpmDecoder``  — binary P6 PPM image parse → width / height / channel
+    means + a luminance-histogram feature vector.
+Compressed codecs (JPEG/PNG/MP3/H.264) need external libraries and stay
+behind ``LibraryDecoder`` which raises NotImplementedError for them;
+``DeterministicFakeDecoder`` remains for plumbing tests.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
+
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
+
+
+def _emit(batch: pa.Table, col: str, cols: dict[str, pa.Array]) -> pa.Table:
+    for name, arr in cols.items():
+        batch = batch.append_column(name, arr)
+    # the wide payload never travels past the decode stage
+    return batch.drop_columns([col])
+
+
+class WavDecoder:
+    """Actor-pool PCM WAV decoder (stdlib ``wave``): per-payload audio
+    features. Undecodable/empty payloads yield zeros with media_len=0 —
+    the dirty-tolerant stance of the decode stage."""
+
+    def __init__(self, binary_col: str = "payload", n_windows: int = 8):
+        self.col = binary_col
+        self.n = n_windows
+
+    def decode_one(self, b: bytes):
+        try:
+            with wave.open(io.BytesIO(b)) as w:
+                nch, sw, rate, nframes = (w.getnchannels(), w.getsampwidth(),
+                                          w.getframerate(), w.getnframes())
+                raw = w.readframes(nframes)
+        except (wave.Error, EOFError):
+            return None
+        if sw == 2:
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif sw == 1:  # 8-bit WAV is unsigned
+            samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        else:
+            return None
+        if nch > 1:
+            samples = samples.reshape(-1, nch).mean(axis=1)
+        return rate, nframes, samples
+
+    def features(self, samples: np.ndarray) -> np.ndarray:
+        """Per-window RMS over n equal chunks — a fixed-dim summary vector."""
+        out = np.zeros(self.n, dtype=np.float32)
+        if len(samples) == 0:
+            return out
+        bounds = np.linspace(0, len(samples), self.n + 1, dtype=np.int64)
+        for i in range(self.n):
+            seg = samples[bounds[i]:bounds[i + 1]]
+            if len(seg):
+                out[i] = np.float32(np.sqrt(np.mean(seg * seg)))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        media_len = np.zeros(n, dtype=np.int64)
+        rate = np.zeros(n, dtype=np.int64)
+        nframes = np.zeros(n, dtype=np.int64)
+        dur_ms = np.zeros(n, dtype=np.float64)
+        rms = np.zeros(n, dtype=np.float64)
+        peak = np.zeros(n, dtype=np.float64)
+        feats = []
+        for i, b in enumerate(batch[self.col].to_pylist()):
+            dec = self.decode_one(b) if b else None
+            if dec is None:
+                feats.append(np.zeros(self.n, dtype=np.float32))
+                continue
+            r, nf, samples = dec
+            media_len[i] = len(b)
+            rate[i] = r
+            nframes[i] = nf
+            dur_ms[i] = 1000.0 * nf / r if r else 0.0
+            if len(samples):
+                rms[i] = float(np.sqrt(np.mean(samples * samples)))
+                peak[i] = float(np.max(np.abs(samples)))
+            feats.append(self.features(samples))
+        return _emit(batch, self.col, {
+            "media_len": pa.array(media_len),
+            "sample_rate": pa.array(rate),
+            "n_frames": pa.array(nframes),
+            "duration_ms": pa.array(dur_ms),
+            "rms": pa.array(rms),
+            "peak": pa.array(peak),
+            "feature": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+        })
+
+
+class PpmDecoder:
+    """Actor-pool binary-P6 PPM image decoder (pure stdlib parse): width /
+    height / per-channel means + an 8-bin luminance histogram feature."""
+
+    def __init__(self, binary_col: str = "payload", n_bins: int = 8):
+        self.col = binary_col
+        self.bins = n_bins
+
+    @staticmethod
+    def decode_one(b: bytes):
+        """Parse P6: 'P6' <ws> width <ws> height <ws> maxval <single ws> raw
+        RGB bytes. '#' comments allowed in the header."""
+        if not b.startswith(b"P6"):
+            return None
+        pos, fields = 2, []
+        while len(fields) < 3 and pos < len(b):
+            while pos < len(b) and b[pos:pos + 1].isspace():
+                pos += 1
+            if b[pos:pos + 1] == b"#":
+                while pos < len(b) and b[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(b[start:pos])
+        try:
+            w, h, maxval = (int(f) for f in fields)
+        except ValueError:
+            return None
+        pos += 1  # single whitespace after maxval
+        raw = b[pos:pos + w * h * 3]
+        if maxval > 255 or len(raw) < w * h * 3:
+            return None
+        img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        return w, h, img
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        width = np.zeros(n, dtype=np.int64)
+        height = np.zeros(n, dtype=np.int64)
+        means = np.zeros((n, 3), dtype=np.float64)
+        feats = []
+        for i, b in enumerate(batch[self.col].to_pylist()):
+            dec = self.decode_one(b) if b else None
+            if dec is None:
+                feats.append(np.zeros(self.bins, dtype=np.float32))
+                continue
+            w, h, img = dec
+            width[i], height[i] = w, h
+            means[i] = img.reshape(-1, 3).mean(axis=0)
+            lum = img.reshape(-1, 3).astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+            hist, _ = np.histogram(lum, bins=self.bins, range=(0.0, 256.0))
+            feats.append((hist / max(lum.size, 1)).astype(np.float32))
+        return _emit(batch, self.col, {
+            "width": pa.array(width),
+            "height": pa.array(height),
+            "mean_r": pa.array(means[:, 0]),
+            "mean_g": pa.array(means[:, 1]),
+            "mean_b": pa.array(means[:, 2]),
+            "feature": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+        })
+
+
+DECODERS = {"wav": WavDecoder, "ppm": PpmDecoder}
 
 
 class LibraryDecoder:
-    """Real-decoder slot: plug PIL/ffmpeg/soundfile here when available."""
+    """Decoder dispatch: stdlib-decodable media types resolve to a real
+    decoder; compressed codecs need libraries this container lacks."""
 
-    def __init__(self, media_type: str = "image"):
-        self.media_type = media_type
+    def __new__(cls, media_type: str = "image", **kwargs):
+        if media_type in DECODERS:
+            return DECODERS[media_type](**kwargs)
         raise NotImplementedError(
-            "no codec library in this environment; use DeterministicFakeDecoder "
-            "for plumbing tests, or install a codec and implement __call__"
+            f"no codec for {media_type!r} in this environment (stdlib decodes "
+            f"{sorted(DECODERS)}); install PIL/ffmpeg/soundfile and register "
+            "the decoder in DECODERS"
         )
 
 
 class DeterministicFakeDecoder:
-    """Actor-pool 'decoder': derives a deterministic fixed-size feature vector
-    from the payload bytes (first/last bytes + length), standing in for a real
-    decode→embed stage. Output schema matches what a real decoder would emit:
+    """Plumbing-test 'decoder': deterministic fixed-size feature vector from
+    the payload bytes. Output schema mirrors a real decoder:
     (key cols…, media_len, feature: list<float>)."""
 
     def __init__(self, binary_col: str = "html", feature_dim: int = 16):
@@ -50,22 +205,63 @@ class DeterministicFakeDecoder:
             lens[i] = len(b)
             head = np.frombuffer(b[: self.dim], dtype=np.uint8)
             feats[i, : len(head)] = head / 255.0
-        batch = batch.append_column("media_len", pa.array(lens))
-        batch = batch.append_column(
-            "feature", pa.array([f for f in feats.tolist()], pa.list_(pa.float32()))
-        )
-        return batch.drop_columns([self.col])
+        return _emit(batch, self.col, {
+            "media_len": pa.array(lens),
+            "feature": pa.array([f for f in feats.tolist()], pa.list_(pa.float32())),
+        })
 
 
 def extract_features(ds, binary_col: str = "html", feature_dim: int = 16,
-                     concurrency: int = 4, batch_size: int = 256):
+                     concurrency: int = 4, batch_size: int = 256,
+                     decoder: str = "fake"):
     """The canonical multimodal stage shape: small batches (payloads are
     KB-MB), actor pool, zero-copy Arrow in/out, binary column dropped after
-    decode so the wide payload doesn't travel further than it must."""
+    decode so the wide payload doesn't travel further than it must.
+
+    decoder: "fake" (plumbing), "wav" or "ppm" (real stdlib codecs)."""
+    if decoder == "fake":
+        cls, args = DeterministicFakeDecoder, (binary_col, feature_dim)
+    elif decoder in DECODERS:
+        cls, args = DECODERS[decoder], (binary_col, feature_dim)
+    else:
+        raise NotImplementedError(f"unknown decoder {decoder!r}")
     return ds.map_batches(
-        DeterministicFakeDecoder,
-        fn_constructor_args=(binary_col, feature_dim),
+        cls,
+        fn_constructor_args=args,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic payload synthesis (test/bench inputs: no media files ship
+# with the testdata, so payloads derive from row keys — same spirit as gen.py)
+# ---------------------------------------------------------------------------
+
+
+def synth_wav_bytes(key: int, rate: int = 8000, ms: int = 50) -> bytes:
+    """Sine-burst WAV derived from an integer key: freq/amplitude are
+    deterministic functions of the key. Proper RIFF container via ``wave``."""
+    n = rate * ms // 1000
+    freq = 200.0 + (key % 40) * 20.0
+    amp = 0.2 + (key % 7) * 0.1
+    t = np.arange(n, dtype=np.float64) / rate
+    samples = (amp * np.sin(2 * np.pi * freq * t) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def synth_ppm_bytes(key: int, w: int = 16, h: int = 12) -> bytes:
+    """Deterministic P6 image: RGB gradient offset by the key."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 // max(w - 1, 1) + key) % 256
+    g = (yy * 255 // max(h - 1, 1) + key * 3) % 256
+    b = (xx + yy + key * 7) % 256
+    img = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    return b"P6\n" + f"{w} {h}\n255\n".encode() + img.tobytes()

@@ -72,28 +72,38 @@ _STOPWORDS = {
 class LangId:
     """Actor-pool language identifier: stopword-hit scoring per language.
 
-    State (compiled regex, stopword sets) built once per actor in __init__
-    (the DataX per-task init lifecycle, dataxPluginDev.md:33-41); batches are
-    scored in __call__. Ties/no-hits → 'und'.
+    State (stopword value_set arrays) built once per actor in __init__ (the
+    DataX per-task init lifecycle, dataxPluginDev.md:33-41). Scoring is fully
+    vectorized: lower → regex split (one kernel call per batch) → flatten →
+    per-language is_in → per-doc bincount → argmax, with ties and no-hits →
+    first-lang-in-dict-order / 'und' exactly like the per-row reference.
     """
 
-    def __init__(self, stopwords: dict[str, set[str]] | None = None):
-        import re
+    # RE2 equivalent of python's [\w']+ tokens under re.U: unicode letters,
+    # unicode digits, underscore, apostrophe (split on everything else)
+    _SPLIT = r"[^\p{L}\p{N}_']+"
 
-        self.words = re.compile(r"[\w']+", re.U)
+    def __init__(self, stopwords: dict[str, set[str]] | None = None):
         self.stop = stopwords or _STOPWORDS
+        self.langs = list(self.stop)
+        self.value_sets = [pa.array(sorted(self.stop[lang]), pa.string())
+                           for lang in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = pc.fill_null(batch["text"], "").to_pylist()
-        preds = []
-        for t in texts:
-            toks = self.words.findall(t.lower())
-            best, best_hits = "und", 0
-            for lang, sw in self.stop.items():
-                hits = sum(1 for w in toks if w in sw)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            preds.append(best)
+        s = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+        toks = pc.split_pattern_regex(s, self._SPLIT)
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = pc.list_value_length(toks).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(batch)), lens)
+        hits = np.zeros((len(self.langs), len(batch)), dtype=np.int64)
+        for li, vs in enumerate(self.value_sets):
+            m = pc.is_in(flat, value_set=vs).to_numpy(zero_copy_only=False)
+            if m.any():
+                hits[li] = np.bincount(doc_idx[m.astype(bool)], minlength=len(batch))
+        best = hits.argmax(axis=0)  # first max wins = dict-order tie-break
+        best_hits = hits[best, np.arange(len(batch))]
+        preds = np.where(best_hits > 0, np.array(self.langs)[best], "und")
         return batch.append_column("lang_pred", pa.array(preds, pa.string()))
 
 

@@ -114,6 +114,68 @@ def minhash_dedup(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
 
 
 # ---------------------------------------------------------------------------
+# multimodal_features — independent WAV parse (struct chunk walk, not `wave`)
+# ---------------------------------------------------------------------------
+
+
+def _wav_decode_struct(b: bytes):
+    """Minimal RIFF/WAVE parser: walk chunks with struct, no wave module."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, rate, nch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos:pos + 4], struct.unpack("<I", b[pos + 4:pos + 8])[0]
+        body = b[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            _fmt, nch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None or bits != 16 or nch != 1:
+        return None
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    return rate, len(samples), samples
+
+
+def multimodal_features(sf_dir: str, n_windows: int = 8) -> pa.Table:
+    from .functions.multimodal import synth_wav_bytes
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    cols = {"doc_id": [], "media_len": [], "sample_rate": [], "n_frames": [],
+            "duration_ms": [], "rms": [], "peak": [], "feature": []}
+    for did in t["doc_id"].to_pylist():
+        b = synth_wav_bytes(int(did))
+        rate, nf, samples = _wav_decode_struct(b)
+        cols["doc_id"].append(did)
+        cols["media_len"].append(len(b))
+        cols["sample_rate"].append(rate)
+        cols["n_frames"].append(nf)
+        cols["duration_ms"].append(1000.0 * nf / rate)
+        cols["rms"].append(float(np.sqrt(np.mean(samples * samples))))
+        cols["peak"].append(float(np.max(np.abs(samples))))
+        feat = np.zeros(n_windows, dtype=np.float32)
+        bounds = np.linspace(0, len(samples), n_windows + 1, dtype=np.int64)
+        for i in range(n_windows):
+            seg = samples[bounds[i]:bounds[i + 1]]
+            if len(seg):
+                feat[i] = np.float32(np.sqrt(np.mean(seg * seg)))
+        cols["feature"].append(feat.tolist())
+    return pa.table({
+        "doc_id": pa.array(cols["doc_id"], pa.int64()),
+        "media_len": pa.array(cols["media_len"], pa.int64()),
+        "sample_rate": pa.array(cols["sample_rate"], pa.int64()),
+        "n_frames": pa.array(cols["n_frames"], pa.int64()),
+        "duration_ms": pa.array(cols["duration_ms"], pa.float64()),
+        "rms": pa.array(cols["rms"], pa.float64()),
+        "peak": pa.array(cols["peak"], pa.float64()),
+        "feature": pa.array(cols["feature"], pa.list_(pa.float32())),
+    })
+
+
+# ---------------------------------------------------------------------------
 # knn_lsh_top5 — numpy recompute of bucket-filtered exact cosine top-k
 # ---------------------------------------------------------------------------
 

@@ -41,6 +41,23 @@ def _rd():
     return ray.data
 
 
+def _read(sf_dir: str, table: str, columns: list[str]):
+    """Column-pruned parquet read with byte-sized parallelism: blocks ≈
+    compressed_size / 4 MiB, clamped to [1, 2×CPU]. Ray's CPU-count block
+    floor turns small tables into dozens of sub-100KB blocks whose per-task
+    overhead dominates the query (measured: 64 blocks of 37 KB made a 20 ms
+    join take seconds); sizing by bytes keeps big inputs parallel and small
+    inputs cheap."""
+    import ray
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    nbytes = os.path.getsize(path)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    blocks = max(1, min(cpus * 2, nbytes // (4 << 20)))
+    return _rd().read_parquet(path, columns=columns,
+                              override_num_blocks=int(blocks))
+
+
 def _scratch(sf_dir: str, name: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     return os.path.join("/tmp", "dataxray_q", f"{name}-{tag}")
@@ -143,8 +160,7 @@ def _rename(t: pa.Table, old: str, new: str) -> pa.Table:
 
 
 def dx_substr_part(sf_dir: str):
-    ds = _rd().read_parquet(os.path.join(sf_dir, "part.parquet"),
-                            columns=["p_partkey", "p_name"])
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
     return ds.map_batches(
         lambda t: _rename(DxSubstr("p_name", 2, 8).apply(t), "p_name", "p_sub"),
         batch_format="pyarrow",
@@ -152,8 +168,7 @@ def dx_substr_part(sf_dir: str):
 
 
 def dx_pad_nation(sf_dir: str):
-    ds = _rd().read_parquet(os.path.join(sf_dir, "nation.parquet"),
-                            columns=["n_nationkey", "n_name"])
+    ds = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
     return ds.map_batches(
         lambda t: _rename(DxPad("n_name", "l", 12, "*").apply(t), "n_name", "n_padded"),
         batch_format="pyarrow",
@@ -161,8 +176,7 @@ def dx_pad_nation(sf_dir: str):
 
 
 def dx_replace_customer(sf_dir: str):
-    ds = _rd().read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                            columns=["c_custkey", "c_name"])
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     return ds.map_batches(
         lambda t: _rename(DxReplace("c_name", 2, 4, "XX").apply(t), "c_name", "c_redacted"),
         batch_format="pyarrow",
@@ -170,20 +184,17 @@ def dx_replace_customer(sf_dir: str):
 
 
 def dx_filter_like_docs(sf_dir: str):
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id", "lang"])
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
     return ds.map_batches(DxFilter("lang", "like", "en|de"), batch_format="pyarrow")
 
 
 def dx_filter_cmp_lineitem(sf_dir: str):
-    ds = _rd().read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
-                            columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
     return ds.map_batches(DxFilter("l_quantity", ">", "25"), batch_format="pyarrow")
 
 
 def dx_digest_docs(sf_dir: str):
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         lambda t: _rename(DxDigest("text", "md5", "toLowerCase").apply(t), "text", "text_digest"),
         batch_format="pyarrow",
@@ -198,8 +209,7 @@ def transform_chain_docs(sf_dir: str):
         DxSubstr("text", 0, 20),
         DxDigest("text", "md5", "toLowerCase"),
     ])
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id", "lang", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
     return ds.map_batches(chain, batch_format="pyarrow").select_columns(["doc_id", "text"])
 
 
@@ -211,8 +221,7 @@ def transform_chain_docs(sf_dir: str):
 def const_and_prune(sf_dir: str):
     """Virtual constant column + projection (UnstructuredStorageReaderUtil
     const-value column entries; read-side pruning)."""
-    ds = _rd().read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                            columns=["c_custkey", "c_name"])
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     return ds.map_batches(
         lambda t: t.append_column("src", pa.nulls(len(t), pa.string()).fill_null("dataxray")),
         batch_format="pyarrow",
@@ -222,8 +231,7 @@ def const_and_prune(sf_dir: str):
 def column_cast(sf_dir: str):
     """ColumnCast surface: long→string, timestamp→formatted string
     (common.column.datetimeFormat, ColumnCast.java:42-77)."""
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
-                            columns=["event_id", "ts"])
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
 
     def cast(t: pa.Table) -> pa.Table:
         t = t.append_column("id_str", pc.cast(t["event_id"], pa.string()))
@@ -243,8 +251,7 @@ def error_split_valid(sf_dir: str):
 
     dirty_dir = _scratch(sf_dir, "dirty")
     shutil.rmtree(dirty_dir, ignore_errors=True)
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
-                            columns=["event_id", "user_id", "value"])
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
     def split(t: pa.Table) -> pa.Table:
         bad = pc.fill_null(pc.greater(t["value"], 40.0), False)
@@ -261,8 +268,7 @@ def range_split_orders(sf_dir: str):
     ranges, report per-range row counts and key bounds."""
     from ray.data.aggregate import Count, Max, Min
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                            columns=["o_orderkey"])
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
     stats = ds.aggregate(Min("o_orderkey"), Max("o_orderkey"))
     lo, hi = stats["min(o_orderkey)"], stats["max(o_orderkey)"]
     span = hi - lo + 1
@@ -301,10 +307,9 @@ def agg_pricing_summary(sf_dir: str):
     (cents / 1e-4) so they hash identically to the SQL oracle."""
     from ray.data.aggregate import Sum
 
-    ds = _rd().read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
-    )
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
         disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
@@ -325,36 +330,59 @@ def agg_pricing_summary(sf_dir: str):
     )
 
 
+class SortedLookup:
+    """Broadcast small-side lookup, vectorized: keys kept SORTED so every
+    batch probe is one np.searchsorted + one Arrow take — no per-row Python
+    dict lookups in the join inner loop."""
+
+    def __init__(self, keys, values: pa.Array):
+        order = np.argsort(keys, kind="stable")
+        self.keys = np.asarray(keys)[order]
+        self.values = values.take(pa.array(order))
+
+    def probe(self, probe_keys: np.ndarray) -> tuple[np.ndarray, pa.Array]:
+        """(match_mask, matched values clipped to valid rows)."""
+        idx = np.searchsorted(self.keys, probe_keys)
+        idx_c = np.minimum(idx, len(self.keys) - 1)
+        valid = self.keys[idx_c] == probe_keys
+        return valid, self.values.take(pa.array(idx_c[valid]))
+
+
+def _segment_lookup(sf_dir: str):
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    return SortedLookup(
+        cust["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False),
+        cust["c_mktsegment"].combine_chunks(),
+    )
+
+
 def broadcast_join_segments(sf_dir: str):
-    """orders ⋈ customer with the small side broadcast (ray.put once, dict
-    lookup per batch) — no shuffle join; then pre-aggregated groupby."""
+    """orders ⋈ customer with the small side broadcast (ray.put once,
+    sorted-key searchsorted probe per batch) — no shuffle join; then
+    pre-aggregated groupby."""
     import ray
     from ray.data.aggregate import Sum
 
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_mktsegment"])
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
-                                  cust["c_mktsegment"].to_pylist())))
+    lookup_ref = ray.put(_segment_lookup(sf_dir))
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                            columns=["o_custkey", "o_totalprice"])
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    class JoinAndCombine:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+    def join_and_combine(t: pa.Table) -> pa.Table:
+        # plain task (not actor pool): scales with read blocks; the broadcast
+        # lookup deserializes zero-copy from plasma per task
+        lookup = ray.get(lookup_ref)
+        keys = t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        valid, seg = lookup.probe(keys)
+        t = t.filter(pa.array(valid))  # inner-join semantics
+        t = t.append_column("c_mktsegment", seg)
+        t = t.append_column("price_c", _as_scaled_int(t["o_totalprice"], 100))
+        t = t.append_column("one", pa.nulls(len(t), pa.int64()).fill_null(1))
+        return pa.TableGroupBy(t, "c_mktsegment").aggregate(
+            [("price_c", "sum"), ("one", "sum")]
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
-            seg = pa.array([self.lookup.get(int(k)) for k in keys], pa.string())
-            t = t.append_column("c_mktsegment", seg)
-            t = t.filter(t["c_mktsegment"].is_valid())  # inner-join semantics
-            t = t.append_column("price_c", _as_scaled_int(t["o_totalprice"], 100))
-            t = t.append_column("one", pa.nulls(len(t), pa.int64()).fill_null(1))
-            return pa.TableGroupBy(t, "c_mktsegment").aggregate(
-                [("price_c", "sum"), ("one", "sum")]
-            )
-
-    partials = ds.map_batches(JoinAndCombine, batch_format="pyarrow", concurrency=2)
+    partials = ds.map_batches(join_and_combine, batch_format="pyarrow")
     return partials.groupby("c_mktsegment").aggregate(
         Sum("one_sum", alias_name="n_orders"),
         Sum("price_c_sum", alias_name="revenue_c"),
@@ -365,10 +393,8 @@ def hash_join_order_rows(sf_dir: str):
     """Large×large hash-partitioned join (Dataset.join, both sides shuffled
     on the key) — the non-broadcast complement to broadcast_join_segments.
     Row-level output so the join itself is what's checked."""
-    orders = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                                columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    cust = _rd().read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                              columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = orders.join(cust, join_type="inner", num_partitions=16,
                          on=("o_custkey",), right_on=("c_custkey",))
     out = joined.map_batches(
@@ -381,11 +407,13 @@ def hash_join_order_rows(sf_dir: str):
 
 def window_tumbling(sf_dir: str):
     """Tumbling 1h event-time window per user (streaming-window analog over
-    the bounded log; SURVEY.md §2.4 'bounded replays of a time window')."""
-    from ray.data.aggregate import Sum
+    the bounded log; SURVEY.md §2.4 'bounded replays of a time window').
+    Group cardinality ≈ row count here, which is exactly where Ray's generic
+    Aggregate collapses (~8k groups/s measured) — so the combine runs on the
+    pyarrow tree aggregator (stages/hashagg.py)."""
+    from ..stages.hashagg import tree_aggregate
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
-                            columns=["user_id", "ts", "value"])
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.append_column("window_start", pc.floor_temporal(t["ts"], unit="hour"))
@@ -396,58 +424,66 @@ def window_tumbling(sf_dir: str):
             [("value_c", "sum"), ("one", "sum")]
         )
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(
-        ["user_id", "window_start"]
-    ).aggregate(
-        Sum("one_sum", alias_name="n_events"),
-        Sum("value_c_sum", alias_name="sum_value_c"),
+    out = tree_aggregate(ds, ["user_id", "window_start"], partial,
+                         {"value_c_sum": "sum", "one_sum": "sum"})
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "window_start": t["window_start"],
+            "n_events": pc.cast(t["one_sum"], pa.int64()),
+            "sum_value_c": pc.cast(t["value_c_sum"], pa.int64()),
+        }),
+        batch_format="pyarrow",
     )
 
 
 def session_windows(sf_dir: str):
     """Session windows (30-min inactivity gap) per user over the bounded
     event log — the map_groups-over-sorted-group pattern for stream-shaped
-    workloads (ray_guide 'Streaming-shaped workloads'; ordering restored per
-    key inside the group, as the reference restores per-shard order)."""
-    import pandas as pd
+    workloads (ordering restored per key inside the group, as the reference
+    restores per-shard order). Arrow-native: lexsort + timestamp diff +
+    cumsum per group, no pandas conversion."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
-                            columns=["user_id", "event_id", "ts", "value"])
-
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sess = gap.cumsum() + 1  # first row: diff NaT -> False -> session 1
-        out = g.assign(session_id=sess).groupby("session_id", as_index=False).agg(
-            user_id=("user_id", "first"),
-            n_events=("event_id", "count"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
+    def sessionize(g: pa.Table) -> pa.Table:
+        ts_np = g["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        ev_np = g["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev_np, ts_np))
+        ts_s = ts_np[order]
+        new_sess = np.empty(len(ts_s), dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (ts_s[1:] - ts_s[:-1]) > np.timedelta64(30, "m")
+        sess = np.cumsum(new_sess).astype(np.int64)
+        t = g.take(pa.array(order)).append_column("session_id", pa.array(sess))
+        agg = pa.TableGroupBy(t, ["user_id", "session_id"]).aggregate(
+            [("event_id", "count"), ("ts", "min"), ("ts", "max")]
         )
-        out["n_events"] = out["n_events"].astype("int64")
-        return out[["user_id", "session_id", "n_events", "session_start", "session_end"]]
+        return pa.table({
+            "user_id": agg["user_id"],
+            "session_id": agg["session_id"],
+            "n_events": pc.cast(agg["event_id_count"], pa.int64()),
+            "session_start": agg["ts_min"],
+            "session_end": agg["ts_max"],
+        })
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
 
 
 def topk_per_group(sf_dir: str):
     """Top-3 orders by price per market segment (grouped top-k via
     map_groups sort+head; ties broken by orderkey)."""
-    orders = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                                columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     import ray
 
-    ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+    ref = ray.put(_segment_lookup(sf_dir))
 
     def tag(t: pa.Table) -> pa.Table:
         import ray as _ray
 
         lk = _ray.get(ref)
-        seg = pa.array([lk.get(int(k)) for k in
-                        t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)],
-                       pa.string())
+        valid, seg = lk.probe(
+            t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False))
+        t = t.filter(pa.array(valid))
         t = t.append_column("c_mktsegment", seg)
         t = t.append_column("price_c", _as_scaled_int(t["o_totalprice"], 100))
         return t.drop_columns(["o_totalprice", "o_custkey"])
@@ -469,20 +505,21 @@ def anti_join_inactive_customers(sf_dir: str):
 
     active = pq.read_table(os.path.join(sf_dir, "events.parquet"),
                            columns=["user_id"])
-    ref = ray.put(set(pc.unique(active["user_id"]).to_pylist()))
+    active_sorted = np.sort(
+        pc.unique(active["user_id"]).to_numpy(zero_copy_only=False))
+    ref = ray.put(active_sorted)
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                            columns=["c_custkey", "c_name"])
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
 
     class AntiFilter:
         def __init__(self):
             import ray as _ray
 
-            self.active = _ray.get(ref)
+            self.active = _ray.get(ref)  # sorted array → np.isin uses searchsorted
 
         def __call__(self, t: pa.Table) -> pa.Table:
             keys = t["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
-            keep = np.fromiter((int(k) not in self.active for k in keys), bool, len(keys))
+            keep = np.isin(keys, self.active, invert=True, assume_unique=False)
             return t.filter(pa.array(keep))
 
     return ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=2)
@@ -491,15 +528,13 @@ def anti_join_inactive_customers(sf_dir: str):
 def union_all_keys(sf_dir: str):
     """Dataset.union (the set-op surface): one keyed row stream from two
     tables, tagged by source."""
-    a = _rd().read_parquet(os.path.join(sf_dir, "nation.parquet"),
-                           columns=["n_nationkey", "n_name"])
+    a = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
     a = a.map_batches(
         lambda t: pa.table({"key": pc.cast(t["n_nationkey"], pa.int64()),
                             "name": t["n_name"],
                             "src": pa.nulls(len(t), pa.string()).fill_null("nation")}),
         batch_format="pyarrow")
-    b = _rd().read_parquet(os.path.join(sf_dir, "region.parquet"),
-                           columns=["r_regionkey", "r_name"])
+    b = _read(sf_dir, "region", ["r_regionkey", "r_name"])
     b = b.map_batches(
         lambda t: pa.table({"key": pc.cast(t["r_regionkey"], pa.int64()),
                             "name": t["r_name"],
@@ -508,28 +543,33 @@ def union_all_keys(sf_dir: str):
     return a.union(b)
 
 
-def global_topk_orders(sf_dir: str):
-    """Global sort + limit (ds.sort is an all-to-all range sort; the small
-    result gets ranks on the driver)."""
-    ds = _rd().read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                            columns=["o_orderkey", "o_totalprice"])
-    ds = ds.map_batches(
-        lambda t: t.append_column("price_c", _as_scaled_int(t["o_totalprice"], 100))
-        .drop_columns(["o_totalprice"]),
-        batch_format="pyarrow")
-    top = ds.sort(["price_c", "o_orderkey"], descending=[True, False]).limit(100)
-    rows = top.take_all()
+def global_topk_orders(sf_dir: str, k: int = 100):
+    """Global top-k WITHOUT the all-to-all sort: each batch keeps only its
+    local top-k (sorted, tie-broken like the oracle), so at most k×blocks
+    tiny rows reach the driver for the final merge — the scale-correct shape
+    for 'top 100 of 10^10'."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        t = t.append_column("price_c", _as_scaled_int(t["o_totalprice"], 100)) \
+            .drop_columns(["o_totalprice"])
+        return t.sort_by([("price_c", "descending"),
+                          ("o_orderkey", "ascending")]).slice(0, k)
+
+    rows = ds.map_batches(block_topk, batch_format="pyarrow").take_all()
+    cands = pa.Table.from_pylist(rows)  # ≤ k × blocks rows — driver-sized
+    top = cands.sort_by([("price_c", "descending"),
+                         ("o_orderkey", "ascending")]).slice(0, k)
     return pa.table({
-        "o_orderkey": pa.array([r["o_orderkey"] for r in rows], pa.int64()),
-        "price_c": pa.array([r["price_c"] for r in rows], pa.int64()),
-        "rank": pa.array(np.arange(1, len(rows) + 1, dtype=np.int64)),
+        "o_orderkey": pc.cast(top["o_orderkey"], pa.int64()),
+        "price_c": pc.cast(top["price_c"], pa.int64()),
+        "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
     })
 
 
 def distinct_langs(sf_dir: str):
     """Distinct values (ds.unique analog — a shuffle-backed set op)."""
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["lang"])
+    ds = _read(sf_dir, "documents", ["lang"])
     vals = sorted(ds.unique("lang"))
     return pa.table({"lang": pa.array(vals, pa.string())})
 
@@ -544,8 +584,7 @@ def dedup_exact_groups(sf_dir: str):
 
     from ..functions.dedup import add_content_key
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     keyed = ds.map_batches(lambda t: add_content_key(t).drop_columns(["text"]),
                            batch_format="pyarrow")
     return keyed.groupby("content_key").aggregate(
@@ -556,8 +595,7 @@ def dedup_exact_groups(sf_dir: str):
 def token_stats(sf_dir: str):
     from ..functions.text import add_token_count
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(lambda t: add_token_count(t).drop_columns(["text"]),
                           batch_format="pyarrow")
 
@@ -565,8 +603,7 @@ def token_stats(sf_dir: str):
 def quality_stats(sf_dir: str):
     from ..functions.text import add_quality_signals
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         lambda t: add_quality_signals(t).drop_columns(["text"]), batch_format="pyarrow"
     )
@@ -575,8 +612,7 @@ def quality_stats(sf_dir: str):
 def knn_cosine_top5(sf_dir: str):
     from ..functions.similarity import knn_bruteforce
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                            columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = knn_bruteforce(ds, query_ids=KNN_QUERY_IDS, k=KNN_K)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
@@ -584,8 +620,7 @@ def knn_cosine_top5(sf_dir: str):
 def embedding_dup_ids(sf_dir: str):
     from ..functions.dedup import embedding_dup_pairs
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                            columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return embedding_dup_pairs(ds, threshold=EMB_DUP_THRESHOLD).select_columns(
         ["id_a", "id_b"]
     )
@@ -599,16 +634,14 @@ def embedding_dup_ids(sf_dir: str):
 def minhash_dedup(sf_dir: str):
     from ..functions.dedup import minhash_dedup_pairs
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_dedup_pairs(ds, threshold=0.5)
 
 
 def simhash_signatures(sf_dir: str):
     from ..functions.dedup import SimHasher
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(SimHasher(), batch_format="pyarrow").select_columns(
         ["doc_id", "simhash"]
     )
@@ -617,8 +650,7 @@ def simhash_signatures(sf_dir: str):
 def langid_pred(sf_dir: str):
     from ..functions.text import LangId
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id", "text", "lang"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2,
                           batch_size=1024).select_columns(["doc_id", "lang", "lang_pred"])
 
@@ -626,8 +658,7 @@ def langid_pred(sf_dir: str):
 def doc_fingerprints(sf_dir: str):
     from ..functions.text import add_fingerprint
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(lambda t: add_fingerprint(t).drop_columns(["text"]),
                           batch_format="pyarrow")
 
@@ -635,23 +666,27 @@ def doc_fingerprints(sf_dir: str):
 def knn_lsh_top5(sf_dir: str):
     from ..functions.similarity import knn_lsh
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                            columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return knn_lsh(ds, query_ids=KNN_QUERY_IDS[:3], k=KNN_K).select_columns(
         ["query_id", "neighbor_id", "rank"]
     )
 
 
 def multimodal_features(sf_dir: str):
-    """Binary-payload decode plumbing: documents.text encoded to bytes stands
-    in for the image/audio payload (codec stubbed, schema/actor path real)."""
-    from ..functions.multimodal import extract_features
+    """REAL audio decode over binary payloads: deterministic WAV bursts are
+    synthesized per doc (no media ships with the testdata), then decoded by
+    the stdlib ``wave``-based actor-pool stage into rate/duration/RMS/peak +
+    a per-window RMS feature vector. Checked against an independent
+    struct-parsing reference model (oracle_models.multimodal_features)."""
+    from ..functions.multimodal import extract_features, synth_wav_bytes
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id", "text"])
-    binry = ds.map_batches(
-        lambda t: t.append_column("payload", pc.cast(t["text"], pa.large_binary()))
-        .drop_columns(["text"]),
-        batch_format="pyarrow",
-    )
-    return extract_features(binry, binary_col="payload", feature_dim=8, concurrency=2)
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def attach_payload(t: pa.Table) -> pa.Table:
+        wavs = [synth_wav_bytes(int(k)) for k in
+                t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)]
+        return t.append_column("payload", pa.array(wavs, pa.large_binary()))
+
+    binry = ds.map_batches(attach_payload, batch_format="pyarrow")
+    return extract_features(binry, binary_col="payload", feature_dim=8,
+                            concurrency=2, decoder="wav")

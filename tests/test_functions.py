@@ -183,6 +183,51 @@ def test_minhash_bucket_cap_bounds_degenerate_buckets():
     assert all(p["jaccard"] == 1.0 for p in pairs)
 
 
+def test_wav_decoder_real_decode():
+    """Real stdlib WAV decode: synthesized sine bursts round-trip with the
+    expected rate/duration, and RMS ≈ amplitude/√2 for a pure sine."""
+    from dataxray.functions.multimodal import WavDecoder, extract_features, synth_wav_bytes
+
+    keys = list(range(12))
+    ds = ray.data.from_items(
+        [{"doc_id": k, "payload": synth_wav_bytes(k)} for k in keys]
+    )
+    rows = extract_features(ds, binary_col="payload", feature_dim=8,
+                            concurrency=2, decoder="wav").take_all()
+    assert len(rows) == 12
+    for r in rows:
+        assert r["sample_rate"] == 8000 and r["n_frames"] == 400
+        assert r["duration_ms"] == pytest.approx(50.0)
+        amp = 0.2 + (r["doc_id"] % 7) * 0.1
+        assert r["rms"] == pytest.approx(amp / np.sqrt(2), rel=0.05)
+        assert len(r["feature"]) == 8 and all(f > 0 for f in r["feature"])
+    # garbage bytes decode to zeros, not an exception
+    bad = WavDecoder("payload")(pa.table({"payload": [b"not a wav", None]}))
+    assert bad["media_len"].to_pylist() == [0, 0]
+
+
+def test_ppm_decoder_real_decode():
+    from dataxray.functions.multimodal import PpmDecoder, synth_ppm_bytes
+
+    t = pa.table({"payload": [synth_ppm_bytes(5), b"P6 broken", None]})
+    out = PpmDecoder("payload")(t)
+    assert out["width"].to_pylist() == [16, 0, 0]
+    assert out["height"].to_pylist() == [12, 0, 0]
+    # gradient means: red ramps over x with offset → mean within [0, 255]
+    assert 0 < out["mean_r"].to_pylist()[0] < 255
+    hist = out["feature"].to_pylist()[0]
+    assert len(hist) == 8 and abs(sum(hist) - 1.0) < 1e-6
+
+
+def test_library_decoder_dispatch():
+    from dataxray.functions.multimodal import LibraryDecoder, PpmDecoder, WavDecoder
+
+    assert isinstance(LibraryDecoder("wav"), WavDecoder)
+    assert isinstance(LibraryDecoder("ppm"), PpmDecoder)
+    with pytest.raises(NotImplementedError):
+        LibraryDecoder("image")
+
+
 def test_multimodal_fake_decode_plumbing():
     from dataxray.functions.multimodal import LibraryDecoder, extract_features
     from dataxray.gen import GenConfig, generate_pages
