@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_cast": R.column_cast,
         "error_split_valid": R.error_split_valid,
         "range_split": R.range_split_orders,
+        "rdbms_roundtrip": R.rdbms_roundtrip,
+        "cli_job_roundtrip": R.cli_job_roundtrip,
         # --- aggregates / joins / windows ---
         "agg_pricing_summary": R.agg_pricing_summary,
         "broadcast_join_segments": R.broadcast_join_segments,
@@ -163,6 +165,16 @@ def oracle_sql() -> dict[str, str]:
         "error_split_valid": (
             "SELECT event_id, user_id, value FROM events "
             "WHERE value IS NULL OR NOT (value > 40)"
+        ),
+        "rdbms_roundtrip": (
+            "SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN 'REDACTED' "
+            "ELSE c_name END AS c_name FROM customer"
+        ),
+        "cli_job_roundtrip": (
+            "SELECT CAST(c_custkey AS BIGINT) AS key, substr(c_name, 1, 8) AS val, "
+            "'customer' AS src FROM customer "
+            "UNION ALL SELECT CAST(n_nationkey AS BIGINT), lpad(n_name, 12, '*'), "
+            "'nation' FROM nation"
         ),
         "range_split": (
             "WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders) "

@@ -151,6 +151,19 @@ def _reader_orc(param: dict, channels: int):
     return ds.map_batches(load, batch_format="pyarrow", batch_size=1), len(files)
 
 
+def _reader_rdbms(param: dict, channels: int):
+    """CommonRdbmsReader analog on sqlite: splitPk range-planned parallel
+    SELECTs (sources/rdbms.py)."""
+    from .sources import rdbms
+
+    n = int(param.get("numSplits", channels))
+    ds = rdbms.read_table(param["path"], param["table"],
+                          columns=param.get("column"),
+                          split_pk=param.get("splitPk"), num_splits=n,
+                          where=param.get("where"))
+    return ds, n
+
+
 def _reader_wal(param: dict, channels: int):
     from .sources import wal
 
@@ -168,6 +181,7 @@ READERS = {
     "jsonreader": _reader_json,
     "orcreader": _reader_orc,
     "walreader": _reader_wal,
+    "rdbmsreader": _reader_rdbms,
 }
 
 
@@ -216,12 +230,36 @@ def _writer_lake(ds, param: dict) -> dict:
     raise ValueError("lakewriter requires reader walreader (a CDC job)")
 
 
+def _writer_rdbms(ds, param: dict) -> dict:
+    """CommonRdbmsWriter analog on sqlite: transactional batch INSERT with
+    writeMode insert|replace|update and row-level dirty fallback."""
+    from .sources import rdbms
+
+    schema = None
+    if param.get("createTable"):
+        s = ds.schema()
+        schema = getattr(s, "base_schema", None) or pa.schema(
+            list(zip(s.names, s.types)))
+    rep = rdbms.write_table(
+        ds, param["path"], param["table"],
+        write_mode=param.get("writeMode", "insert"),
+        conflict_pk=param.get("conflictPk"),
+        batch_size=int(param.get("batchSize", 2048)),
+        pre_sql=param.get("preSql"), post_sql=param.get("postSql"),
+        create_from_schema=schema,
+        dirty_dir=param.get("dirtyDir"),
+    )
+    return {"sink": param["path"], "rows": rep["rows_written"],
+            "rowsFailed": rep["rows_failed"]}
+
+
 WRITERS = {
     "parquetwriter": _writer_parquet,
     "txtfilewriter": _writer_csv,
     "csvwriter": _writer_csv,
     "streamwriter": _writer_stream,
     "lakewriter": _writer_lake,
+    "rdbmswriter": _writer_rdbms,
 }
 
 
@@ -304,6 +342,31 @@ class RateLimiter:
 # ---------------------------------------------------------------------------
 
 
+def _cache_fsspec_http_probe() -> None:
+    """ray.data path resolution lazily runs `from fsspec.implementations.http
+    import HTTPFileSystem` on EVERY read/write; with aiohttp absent that
+    import fails every time (failures are never cached), and two threads
+    resolving paths concurrently can observe each other's partially
+    initialized module — surfacing as a bare ImportError that ray's
+    `except ModuleNotFoundError` does NOT catch. Cache a minimal functional
+    stub once so the probe succeeds thread-safely; the stub class matches no
+    real filesystem instance, which is exactly what ray's isinstance check
+    needs, and actual http:// reads would need aiohttp regardless."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ModuleNotFoundError:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # noqa: N801 — name is the import contract
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
 def _load_handler(spec: str):
     mod, fn = spec.split(":")
     return getattr(importlib.import_module(mod), fn)
@@ -323,8 +386,7 @@ def run_job(job: dict, dry_run: bool = False) -> dict:
     if pre := setting.get("preHandler"):
         _load_handler(pre)(job)
 
-    reports = []
-    for content in contents:
+    def _run_content(content: dict) -> dict:
         rname = content["reader"]["name"]
         wname = content["writer"]["name"]
         if rname not in READERS:
@@ -340,9 +402,8 @@ def run_job(job: dict, dry_run: bool = False) -> dict:
             rp = content["reader"].get("parameter", {})
             wp = content["writer"].get("parameter", {})
             if dry_run:
-                reports.append({"reader": rname, "writer": wname,
-                                "lake": wp["path"], "dryRun": True})
-                continue
+                return {"reader": rname, "writer": wname,
+                        "lake": wp["path"], "dryRun": True}
             pages_path = wp.get("pagesPath", rp.get("pagesPath"))
             cdc_dirty = wp.get("dirtyDir")
             if cdc_dirty is None and (el.get("record") is not None
@@ -360,7 +421,7 @@ def run_job(job: dict, dry_run: bool = False) -> dict:
                     error_limit=error_limit,
                 ),
             )
-            reports.append({
+            return {
                 "reader": rname, "writer": wname, "lake": wp["path"],
                 "partitionsCommitted": rep.partitions_committed,
                 "partitionsSkipped": rep.partitions_skipped,
@@ -369,16 +430,14 @@ def run_job(job: dict, dry_run: bool = False) -> dict:
                 "totalErrorRecords": rep.total_error_records,
                 "recordSpeed": round(rep.record_speed, 1),
                 "elapsedSec": round(time.perf_counter() - t0, 3),
-            })
-            continue
+            }
         ds, n_splits = READERS[rname](content["reader"].get("parameter", {}), channels)
 
         if dry_run:  # preCheck: plan only (JobContainer.java:103-106,182-279)
-            reports.append({
+            return {
                 "reader": rname, "writer": wname, "splits": n_splits,
                 "schema": str(ds.schema()), "dryRun": True,
-            })
-            continue
+            }
 
         dirty_dir = None
         # reader-level column casts (the plugin `column` type/format surface:
@@ -431,12 +490,25 @@ def run_job(job: dict, dry_run: bool = False) -> dict:
 
             n_dirty = check_budget(dirty_dir, tally.total() + dirty_count(dirty_dir),
                                    error_limit)
-        reports.append({
+        return {
             "reader": rname, "writer": wname, "splits": n_splits,
             "totalErrorRecords": n_dirty,
             "elapsedSec": round(time.perf_counter() - t0, 3),
             **sink_report,
-        })
+        }
+
+    # DataX runs every content[] entry in ONE task pool; the analog is a
+    # thread per content driving its own Dataset pipeline concurrently (Ray
+    # schedules tasks from all of them). Order of reports == config order.
+    # setting.sequentialContent=true restores one-at-a-time execution.
+    if len(contents) > 1 and not setting.get("sequentialContent"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        _cache_fsspec_http_probe()
+        with ThreadPoolExecutor(max_workers=min(len(contents), 8)) as ex:
+            reports = list(ex.map(_run_content, contents))
+    else:
+        reports = [_run_content(c) for c in contents]
 
     if post := setting.get("postHandler"):
         _load_handler(post)(job)

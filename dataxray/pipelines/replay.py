@@ -52,6 +52,7 @@ class ReplayConfig:
     compact_threshold: int = 8  # delta files per partition before auto-compaction
     error_limit: ErrorLimit = ErrorLimit()
     dirty_dir: str | None = None
+    stall_timeout_sec: float | None = None  # per-partition merge watchdog
 
 
 def _tune_read_parallelism() -> None:
@@ -70,7 +71,7 @@ def _tune_read_parallelism() -> None:
 
 def _merge_tables(p: int, tables: list[pa.Table], lake_root: str, run_id: str,
                   wm: dict, target: pa.Schema, sink_mode: str = "rewrite",
-                  compact_threshold: int = 8) -> dict:
+                  compact_threshold: int = 8, monitor=None) -> dict:
     """Per-partition final merge used by both exchange paths: filter by the
     partition watermark, stage new state, return small commit metadata.
 
@@ -82,6 +83,8 @@ def _merge_tables(p: int, tables: list[pa.Table], lake_root: str, run_id: str,
     compacts (full merge + rewrite) instead."""
     from ..stages.merge import strip_counts
 
+    if monitor is not None:
+        monitor.beat.remote(p, "start")  # fire-and-forget heartbeat
     events = tables[0] if len(tables) == 1 else pa.concat_tables(
         tables, promote_options="permissive"
     )
@@ -92,6 +95,8 @@ def _merge_tables(p: int, tables: list[pa.Table], lake_root: str, run_id: str,
     # winner absorbed; rows at/below the watermark were applied by a prior run
     events, n_events = strip_counts(events)
     if len(events) == 0:
+        if monitor is not None:
+            monitor.beat.remote(p, "done")
         return {"partition": p, "txn_hi": watermark, "staged": [],
                 "row_count": 0, "num_bytes": 0, "noop": True, "mode": "none",
                 "n_events": 0}
@@ -111,6 +116,8 @@ def _merge_tables(p: int, tables: list[pa.Table], lake_root: str, run_id: str,
         merged = merge_partition(events, state, target, watermark)
         mode = "rewrite"
     meta = part_lake.write_staged(run_id, p, merged)
+    if monitor is not None:
+        monitor.beat.remote(p, "done")
     return {"partition": p, "txn_hi": txn_hi, "staged": meta["staged"],
             "row_count": meta["row_count"], "num_bytes": meta["num_bytes"],
             "noop": False, "mode": mode, "n_events": n_events}
@@ -271,9 +278,16 @@ def replay(
         ds = ds.drop_columns([SALT_COL])
 
     lake_root, wm, tgt = lake.root, dict(watermarks), target
+    watchdog = None
+    if cfg.stall_timeout_sec:
+        from ..state.watchdog import Watchdog
+
+        watchdog = Watchdog(cfg.stall_timeout_sec)
+        watchdog.start()
     merge_kwargs = dict(lake_root=lake_root, run_id=run_id, wm=wm, target=tgt,
                         sink_mode=cfg.sink_mode,
-                        compact_threshold=cfg.compact_threshold)
+                        compact_threshold=cfg.compact_threshold,
+                        monitor=watchdog.monitor if watchdog else None)
 
     if cfg.exchange == "direct":
         from ..stages.exchange import direct_exchange
@@ -299,6 +313,10 @@ def replay(
         meta_rows = ds.groupby(PART_COL).map_groups(
             merge_and_stage, batch_format="pyarrow"
         ).take_all()
+
+    if watchdog is not None:
+        watchdog.stop()
+        report.stalled_partitions = watchdog.stalled()
 
     # ---- error budget (before commit: a failed budget aborts cleanly) ----
     n_dirty = 0

@@ -574,6 +574,78 @@ def distinct_langs(sf_dir: str):
     return pa.table({"lang": pa.array(vals, pa.string())})
 
 
+def rdbms_roundtrip(sf_dir: str):
+    """Real RDBMS reader/writer semantics on sqlite (sources/rdbms.py):
+    batch-INSERT customer into a fresh DB, upsert a redacted subset with
+    writeMode=update (ON CONFLICT DO UPDATE ≙ ON DUPLICATE KEY UPDATE),
+    then read back through splitPk range-planned parallel SELECTs."""
+    from ..sources import rdbms
+
+    d = _scratch(sf_dir, "rdbms")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    db = os.path.join(d, "customer.db")
+    schema = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                            "c_name": t["c_name"]}),
+        batch_format="pyarrow")
+    rdbms.write_table(cust, db, "customer", "insert", conflict_pk="c_custkey",
+                      create_from_schema=schema)
+
+    def redact(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t["c_custkey"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(keys % 10 == 0))
+        name = pa.nulls(len(t), pa.string()).fill_null("REDACTED")
+        return pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                         "c_name": name})
+
+    rdbms.write_table(cust.map_batches(redact, batch_format="pyarrow"),
+                      db, "customer", "update", conflict_pk="c_custkey")
+    return rdbms.read_table(db, "customer", split_pk="c_custkey", num_splits=8)
+
+
+def cli_job_roundtrip(sf_dir: str):
+    """Drive the config-driven job.json surface through the correctness
+    gate: a TWO-content job (contents execute in parallel threads, the DataX
+    one-task-pool analog) transforms customer and nation through dx_*
+    chains into parquet sinks; the sinks are read back and unioned."""
+    import glob as globmod
+
+    from ..cli import run_job
+
+    d = _scratch(sf_dir, "clijob")
+    shutil.rmtree(d, ignore_errors=True)
+    out_a, out_b = os.path.join(d, "a"), os.path.join(d, "b")
+    job = {"job": {"content": [
+        {"reader": {"name": "parquetreader", "parameter": {
+            "path": os.path.join(sf_dir, "customer.parquet"),
+            "column": ["c_custkey", "c_name"]}},
+         "transformer": [{"name": "dx_substr", "parameter": {
+             "columnName": "c_name", "paras": ["0", "8"]}}],
+         "writer": {"name": "parquetwriter", "parameter": {
+             "path": out_a, "writeMode": "truncate"}}},
+        {"reader": {"name": "parquetreader", "parameter": {
+            "path": os.path.join(sf_dir, "nation.parquet"),
+            "column": ["n_nationkey", "n_name"]}},
+         "transformer": [{"name": "dx_pad", "parameter": {
+             "columnName": "n_name", "paras": ["l", "12", "*"]}}],
+         "writer": {"name": "parquetwriter", "parameter": {
+             "path": out_b, "writeMode": "truncate"}}},
+    ]}}
+    run_job(job)
+    a = pq.read_table(sorted(globmod.glob(os.path.join(out_a, "*.parquet"))))
+    b = pq.read_table(sorted(globmod.glob(os.path.join(out_b, "*.parquet"))))
+    return pa.concat_tables([
+        pa.table({"key": pc.cast(a["c_custkey"], pa.int64()), "val": a["c_name"],
+                  "src": pa.nulls(len(a), pa.string()).fill_null("customer")}),
+        pa.table({"key": pc.cast(b["n_nationkey"], pa.int64()), "val": b["n_name"],
+                  "src": pa.nulls(len(b), pa.string()).fill_null("nation")}),
+    ])
+
+
 # ---------------------------------------------------------------------------
 # training-data ops with SQL oracles
 # ---------------------------------------------------------------------------

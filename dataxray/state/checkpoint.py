@@ -28,6 +28,7 @@ class RunReport:
     elapsed_sec: float = 0.0
     record_speed: float = 0.0  # events/s (the headline metric)
     partition_lag: dict = field(default_factory=dict)  # part -> txn_hi
+    stalled_partitions: list = field(default_factory=list)  # watchdog flags
 
     def finish(self, started: float) -> "RunReport":
         self.elapsed_sec = time.perf_counter() - started
