@@ -96,9 +96,11 @@ def run_headline() -> dict:
         for f in all_shards[: len(all_shards) // 2]:
             os.symlink(os.path.join(BENCH_DATA, "events", f), os.path.join(half_dir, f))
 
-    # best of 2 timed runs: single-run wall time on this shared VM varies ±30%
+    # best of N timed runs: single-run wall time on this shared VM varies ±30%
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    skip_inc = bool(os.environ.get("BENCH_SKIP_INCREMENTAL"))
     elapsed, inc_elapsed, rep = None, None, None
-    for _ in range(2):
+    for _ in range(repeats):
         shutil.rmtree(BENCH_LAKE, ignore_errors=True)
         t0 = time.perf_counter()
         rep = replay(
@@ -110,6 +112,8 @@ def run_headline() -> dict:
         dt = time.perf_counter() - t0
         elapsed = dt if elapsed is None else min(elapsed, dt)
 
+        if skip_inc:
+            continue
         # steady-state incremental epoch: bootstrap with half the WAL, then
         # time applying the rest (file pruning + per-partition watermarks +
         # state merge — the path a 10^10-event pipeline lives on)
@@ -126,15 +130,19 @@ def run_headline() -> dict:
         shutil.rmtree(inc_lake, ignore_errors=True)
     n = cfg.n_events + cfg.n_urls
     n_inc = cfg.n_events - cfg.n_events // 2
-    return {
+    out = {
         "sec": round(elapsed, 3),
         "events": n,
         "events_per_sec": round(n / elapsed, 1),
         "rows_final": rep.write_succeed_records,
-        "incremental_sec": round(inc_elapsed, 3),
-        "incremental_events": n_inc,
-        "incremental_events_per_sec": round(n_inc / inc_elapsed, 1),
     }
+    if inc_elapsed is not None:
+        out.update({
+            "incremental_sec": round(inc_elapsed, 3),
+            "incremental_events": n_inc,
+            "incremental_events_per_sec": round(n_inc / inc_elapsed, 1),
+        })
+    return out
 
 
 def run_queries() -> dict:
@@ -185,7 +193,13 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Same input, fresh ray.init per level (8 vs 32 CPUs)."""
+    """Same input, fresh ray.init per level (8 vs 32 CPUs).
+
+    Noise protocol: the two levels run INTERLEAVED (8,32,8,32,8,32) so a
+    co-tenant noise window hits both levels rather than skewing the ratio,
+    and each level takes its best-of-3 fresh processes. Scaling runs time
+    only the full replay (no incremental epoch) to keep sample cost down.
+    """
     # pre-generate once so neither timed run pays generation cost
     subprocess.run(
         [sys.executable, "-c",
@@ -194,24 +208,23 @@ def scaling() -> None:
          "import bench; bench.prepare_data(); ray.shutdown()"],
         check=True, cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
     )
-    results = {}
-    for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
-        best = None
-        for _ in range(2):  # fresh-process best-of-2: VM noise is +-30%
+    best: dict[int, dict | None] = {8: None, 32: None}
+    for _round in range(3):
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       BENCH_SKIP_INCREMENTAL="1", BENCH_REPEATS="1")
             out = subprocess.run([sys.executable, "bench.py", "--headline-only"],
                                  env=env, capture_output=True, text=True, check=True,
                                  cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
             r = json.loads(out.stdout.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
-                best = r
-        results[ncpu] = best
-    thr8 = results[8]["events_per_sec"]
-    thr32 = results[32]["events_per_sec"]
+            if best[ncpu] is None or r["value"] < best[ncpu]["value"]:
+                best[ncpu] = r
+    thr8 = best[8]["events_per_sec"]
+    thr32 = best[32]["events_per_sec"]
     print(json.dumps({
         "metric": "scaling_efficiency_8_to_32",
-        "sec_8": results[8]["value"],
-        "sec_32": results[32]["value"],
+        "sec_8": best[8]["value"],
+        "sec_32": best[32]["value"],
         "events_per_sec_8": thr8,
         "events_per_sec_32": thr32,
         "scaling_efficiency": round((thr32 / thr8) / 4, 3),

@@ -69,18 +69,70 @@ def _expand_paths(param: dict) -> list[str]:
     return files
 
 
+def _resolve_reader_paths(param: dict):
+    """(files, filesystem): plain paths glob locally; ``scheme://`` paths go
+    through fsspec (the ftpreader/ossreader remote-FS analog — any protocol
+    fsspec knows: ftp, s3, gs, file, memory, …), with globs expanded by the
+    remote filesystem's own listing."""
+    paths = param["path"] if isinstance(param["path"], list) else [param["path"]]
+    if not any("://" in p for p in paths):
+        return _expand_paths(param), None
+    import fsspec
+
+    _cache_fsspec_http_probe()  # ray's fs-type probe trips on missing aiohttp
+    scheme = paths[0].split("://", 1)[0]
+    fs = fsspec.filesystem(scheme)
+    files: list[str] = []
+    for p in paths:
+        body = p.split("://", 1)[1]
+        files.extend(sorted(fs.glob(body)) if any(c in body for c in "*?[")
+                     else [body])
+    return files, fs
+
+
 def _reader_parquet(param: dict, channels: int):
     import ray.data
 
-    files = _expand_paths(param)
-    return ray.data.read_parquet(files, columns=param.get("column")), len(files)
+    files, fs = _resolve_reader_paths(param)
+    return ray.data.read_parquet(files, columns=param.get("column"),
+                                 filesystem=fs), len(files)
+
+
+# DataX compression names → Arrow codec (UnstructuredStorageReaderUtil.java:
+# 111-205 reads gzip/bzip2/zip/lzo/snappy; Arrow gives us gzip/bz2/zstd/lz4,
+# zip is handled by extraction, lzo/hadoop-snappy have no python codec here)
+_CSV_CODECS = {"gzip": "gzip", "bzip2": "bz2", "zstd": "zstd", "lz4": "lz4"}
 
 
 def _reader_csv(param: dict, channels: int):
     import ray.data
 
-    files = _expand_paths(param)
-    return ray.data.read_csv(files), len(files)
+    files, fs = _resolve_reader_paths(param)
+    comp = param.get("compression", "auto")
+    kwargs = {}
+    if comp == "zip":
+        # zip members extract locally first (the reference's cycle-reading,
+        # UnstructuredStorageReaderUtil.java:160-180) then read as plain CSV
+        import tempfile
+        import zipfile
+
+        tmp = tempfile.mkdtemp(prefix="dataxray_zip_")
+        extracted = []
+        for f in files:
+            with zipfile.ZipFile(f) as z:
+                for m in z.namelist():
+                    z.extract(m, tmp)
+                    extracted.append(os.path.join(tmp, m))
+        files = extracted
+    elif comp in _CSV_CODECS:
+        kwargs["arrow_open_stream_args"] = {"compression": _CSV_CODECS[comp]}
+    elif comp != "auto":
+        raise ValueError(
+            f"unsupported compression {comp!r}; have "
+            f"{sorted(_CSV_CODECS) + ['zip', 'auto']} (lzo/snappy need "
+            "codecs absent from this environment)")
+    # "auto": Arrow sniffs by extension (.gz/.bz2/.zst/.lz4)
+    return ray.data.read_csv(files, filesystem=fs, **kwargs), len(files)
 
 
 def _reader_stream(param: dict, channels: int):
@@ -129,8 +181,8 @@ def _reader_stream(param: dict, channels: int):
 def _reader_json(param: dict, channels: int):
     import ray.data
 
-    files = _expand_paths(param)
-    return ray.data.read_json(files), len(files)
+    files, fs = _resolve_reader_paths(param)
+    return ray.data.read_json(files, filesystem=fs), len(files)
 
 
 def _reader_orc(param: dict, channels: int):
@@ -308,33 +360,7 @@ class _RowTally:
         return ray.get(self.actor.get.remote())
 
 
-class RateLimiter:
-    """Sleep-based records/s + bytes/s throttle per task (flow control per
-    Channel.java:148-204; the global cap is approximated as cap/concurrency
-    per concurrent task, like DataX's per-channel caps)."""
-
-    def __init__(self, records_per_s: float | None, bytes_per_s: float | None):
-        self.rps = records_per_s
-        self.bps = bytes_per_s
-        self.start = None
-        self.rows = 0
-        self.nbytes = 0
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        now = time.monotonic()
-        if self.start is None:
-            self.start = now
-        self.rows += len(batch)
-        self.nbytes += batch.nbytes
-        waits = []
-        if self.rps:
-            waits.append(self.rows / self.rps - (now - self.start))
-        if self.bps:
-            waits.append(self.nbytes / self.bps - (now - self.start))
-        wait = max(waits, default=0.0)
-        if wait > 0:
-            time.sleep(min(wait, 5.0))
-        return batch
+from .stages.ratelimit import RateLimiter  # noqa: E402 — shared with replay
 
 
 # ---------------------------------------------------------------------------
@@ -473,6 +499,7 @@ def run_job(job: dict, dry_run: bool = False) -> dict:
                     (float(speed["byte"]) / channels) if speed.get("byte") else None,
                 ),
                 batch_format="pyarrow", concurrency=channels, batch_size=4096,
+                num_cpus=0.25,  # limiter actors sleep; don't starve the stages
             )
 
         tally = None

@@ -53,6 +53,10 @@ class ReplayConfig:
     error_limit: ErrorLimit = ErrorLimit()
     dirty_dir: str | None = None
     stall_timeout_sec: float | None = None  # per-partition merge watchdog
+    # speed caps (Channel.java:148-204 flow control): protect a shared WAL
+    # store / destination from a full-speed backfill. None = unthrottled.
+    records_per_sec: float | None = None
+    bytes_per_sec: float | None = None
 
 
 def _tune_read_parallelism() -> None:
@@ -121,6 +125,18 @@ def _merge_tables(p: int, tables: list[pa.Table], lake_root: str, run_id: str,
     return {"partition": p, "txn_hi": txn_hi, "staged": meta["staged"],
             "row_count": meta["row_count"], "num_bytes": meta["num_bytes"],
             "noop": False, "mode": mode, "n_events": n_events}
+
+
+class _AssignCombineFuse:
+    """Per-block assign-partition + LWW-combine, fused into the direct
+    exchange's split task (see direct_exchange fuse_fn)."""
+
+    def __init__(self, cfg: "ReplayConfig"):
+        self.assign = AssignPartition(cfg.num_partitions, 0)
+        self.combine = BatchCombiner(counted=True)
+
+    def __call__(self, block: pa.Table) -> pa.Table:
+        return self.combine(self.assign(block))
 
 
 def _warn_if_backlog_exceeds_memory(events_dir: str, low: int) -> None:
@@ -259,13 +275,32 @@ def replay(
                               batch_format="pyarrow", batch_size=cfg.batch_size)
         ds = s if ds is None else ds.union(s)
 
-    ds = ds.map_batches(
-        AssignPartition(cfg.num_partitions, cfg.num_salts,
-                        auto_salt=cfg.auto_salt, hot_frac=cfg.hot_frac),
-        batch_format="pyarrow", batch_size=cfg.batch_size,
-    )
-    ds = ds.map_batches(BatchCombiner(counted=True), batch_format="pyarrow",
-                        batch_size=cfg.batch_size)
+    if cfg.records_per_sec or cfg.bytes_per_sec:
+        from ..stages.ratelimit import RateLimiter
+
+        throttle_conc = 4  # global cap split across concurrent limiter actors
+        ds = ds.map_batches(
+            RateLimiter,
+            fn_constructor_args=(
+                cfg.records_per_sec / throttle_conc if cfg.records_per_sec else None,
+                cfg.bytes_per_sec / throttle_conc if cfg.bytes_per_sec else None,
+            ),
+            batch_format="pyarrow", batch_size=8192, concurrency=throttle_conc,
+            num_cpus=0.25,  # limiter actors mostly sleep; reserving whole
+            # CPUs would starve the read/merge tasks on small clusters
+        )
+
+    # fused direct path: assign+combine run INSIDE the exchange's split task
+    # (no separate map stage, one less plasma round-trip per block)
+    fused_direct = cfg.exchange == "direct" and cfg.num_salts <= 1
+    if not fused_direct:
+        ds = ds.map_batches(
+            AssignPartition(cfg.num_partitions, cfg.num_salts,
+                            auto_salt=cfg.auto_salt, hot_frac=cfg.hot_frac),
+            batch_format="pyarrow", batch_size=cfg.batch_size,
+        )
+        ds = ds.map_batches(BatchCombiner(counted=True), batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
 
     if cfg.num_salts > 1:
         # stage A: per-(part,salt) partial LWW winners (hot-url mitigation);
@@ -292,7 +327,9 @@ def replay(
     if cfg.exchange == "direct":
         from ..stages.exchange import direct_exchange
 
-        meta_rows = direct_exchange(ds, cfg.num_partitions, _merge_tables, merge_kwargs)
+        fuse = _AssignCombineFuse(cfg) if fused_direct else None
+        meta_rows = direct_exchange(ds, cfg.num_partitions, _merge_tables,
+                                    merge_kwargs, fuse_fn=fuse)
     else:
         def merge_and_stage(group: pa.Table) -> pa.Table:
             """Per-partition final merge; writes new state to staging, emits

@@ -40,7 +40,7 @@ def split_by_part(block: pa.Table, num_partitions: int) -> list[pa.Table]:
 
 
 def direct_exchange(ds, num_partitions: int, merge_fn, merge_kwargs: dict,
-                    pipelined: bool = True):
+                    pipelined: bool = True, fuse_fn=None):
     """Run the partition exchange + per-partition merge with raw Ray tasks.
 
     ``merge_fn(p, tables, **merge_kwargs)`` runs remotely once per non-empty
@@ -50,11 +50,18 @@ def direct_exchange(ds, num_partitions: int, merge_fn, merge_kwargs: dict,
     (iter_internal_ref_bundles) and submits split tasks as map output lands,
     overlapping the split phase with the map phase; False materializes first
     (to_arrow_refs) — simpler, but serializes the phases.
+
+    ``fuse_fn`` (optional, picklable block→block callable) runs INSIDE each
+    split task before splitting — fusing the last map stage (partition
+    assign + combiner) with the split removes one task hop and one plasma
+    round-trip per block (the map stage's output block is never written to
+    the store as a separate object).
     """
     import ray
 
     split_remote = ray.remote(num_cpus=1, num_returns=num_partitions)(
-        lambda block, n=num_partitions: tuple(split_by_part(block, n))
+        lambda block, n=num_partitions, f=fuse_fn: tuple(
+            split_by_part(f(block) if f is not None else block, n))
     )
 
     def _merge(p, kwargs, *tables):
@@ -72,6 +79,9 @@ def direct_exchange(ds, num_partitions: int, merge_fn, merge_kwargs: dict,
         if num_partitions == 1:
             # num_returns=1 would hand the merge a 1-tuple, not a table —
             # with a single partition there is nothing to split anyway
+            if fuse_fn is not None:  # callable instance → wrap for @ray.remote
+                block_ref = ray.remote(num_cpus=1)(
+                    lambda b, f=fuse_fn: f(b)).remote(block_ref)
             per_part[0].append(block_ref)
             return
         for p, r in enumerate(split_remote.remote(block_ref)):

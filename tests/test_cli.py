@@ -164,6 +164,77 @@ def test_multi_content_runs_parallel(tmp_path):
         f"contents did not overlap (par {par_wall:.2f}s vs seq {seq_wall:.2f}s)")
 
 
+def test_csv_compression_codecs(tmp_path):
+    """txtfilereader compression surface: gzip/bzip2 via Arrow codecs, zip
+    via extraction (UnstructuredStorageReaderUtil.java:111-205); lzo/snappy
+    are declared unsupported."""
+    import bz2
+    import gzip
+    import zipfile
+
+    import pytest as _pytest
+
+    data = "a,b\n1,x\n2,y\n"
+    paths = {}
+    with gzip.open(tmp_path / "t.csv.gz", "wt") as f:
+        f.write(data)
+    paths["gzip"] = str(tmp_path / "t.csv.gz")
+    with bz2.open(tmp_path / "t.csv.bz2", "wt") as f:
+        f.write(data)
+    paths["bzip2"] = str(tmp_path / "t.csv.bz2")
+    with zipfile.ZipFile(tmp_path / "t.zip", "w") as z:
+        z.writestr("inner.csv", data)
+    paths["zip"] = str(tmp_path / "t.zip")
+
+    for comp, path in paths.items():
+        job = {"job": {"content": [{
+            "reader": {"name": "csvreader", "parameter": {
+                "path": path, "compression": comp}},
+            "writer": {"name": "streamwriter", "parameter": {}},
+        }]}}
+        assert run_job(job)["content"][0]["rows"] == 2, comp
+
+    from dataxray.cli import _reader_csv
+
+    with _pytest.raises(ValueError, match="unsupported compression"):
+        _reader_csv({"path": paths["gzip"], "compression": "lzo"}, 1)
+
+
+def test_fsspec_uri_reader(tmp_path):
+    """Remote-filesystem reader paths: scheme:// URIs resolve through fsspec
+    (the ftpreader/ossreader analog); file:// is the in-sandbox protocol."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    pq.write_table(pa.table({"k": [1, 2, 3]}), str(tmp_path / "f.parquet"))
+    job = {"job": {"content": [{
+        "reader": {"name": "parquetreader", "parameter": {
+            "path": f"file://{tmp_path}/*.parquet"}},
+        "writer": {"name": "streamwriter", "parameter": {}},
+    }]}}
+    assert run_job(job)["content"][0]["rows"] == 3
+
+
+def test_replay_rate_limit(tmp_path):
+    """speed caps on the replay path (Channel flow-control analog): a
+    records_per_sec cap must stretch the epoch wall time."""
+    import time
+
+    from dataxray.gen import GenConfig, write_dataset
+    from dataxray.pipelines.replay import ReplayConfig, replay
+
+    d = str(tmp_path / "data")
+    write_dataset(d, GenConfig(n_urls=100, n_events=2_000, n_shards=2,
+                               html_mean=16), parallel=False)
+    t0 = time.perf_counter()
+    replay(os.path.join(d, "events"), str(tmp_path / "lake"),
+           pages_path=os.path.join(d, "pages.parquet"),
+           cfg=ReplayConfig(num_partitions=2, records_per_sec=2_000))
+    wall = time.perf_counter() - t0
+    # 2100 rows at 2000/s → ≥ ~1s of throttle sleep on top of the work
+    assert wall >= 1.0
+
+
 def test_reader_level_casts(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
