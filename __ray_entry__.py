@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": R.topk_per_group,
         "distinct_langs": R.distinct_langs,
         "anti_join_inactive_customers": R.anti_join_inactive_customers,
+        "anti_join_bloom": R.anti_join_bloom,
         "union_all_keys": R.union_all_keys,
         "global_topk_orders": R.global_topk_orders,
         # --- training-data ops (SQL-checkable) ---
@@ -65,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": R.simhash_signatures,
         "doc_fingerprints": R.doc_fingerprints,
         "knn_lsh_top5": R.knn_lsh_top5,
+        "knn_ivf_top5": R.knn_ivf_top5,
         "multimodal_features": R.multimodal_features,
     }
 
@@ -129,6 +131,7 @@ def reference_models() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": M.simhash_signatures,
         "doc_fingerprints": M.doc_fingerprints,
         "knn_lsh_top5": M.knn_lsh_top5,
+        "knn_ivf_top5": M.knn_ivf_top5,
         "multimodal_features": M.multimodal_features,
     }
 
@@ -231,6 +234,10 @@ def oracle_sql() -> dict[str, str]:
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "anti_join_inactive_customers": (
             "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey NOT IN (SELECT user_id FROM events)"
+        ),
+        "anti_join_bloom": (
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name FROM customer "
             "WHERE c_custkey NOT IN (SELECT user_id FROM events)"
         ),
         "union_all_keys": (

@@ -101,6 +101,81 @@ def knn_bruteforce(ds, query_ids: list[int], k: int = 5,
     return cands.groupby("query_id").map_groups(topk, batch_format="pyarrow")
 
 
+def train_ivf(vectors: np.ndarray, num_lists: int, iters: int = 5) -> np.ndarray:
+    """Deterministic Lloyd's k-means over L2-normalized vectors (cosine ≙
+    dot): init = first num_lists sample vectors, fixed iteration count, no
+    RNG — same centroids on every node and every run."""
+    v = vectors / np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-30)
+    c = v[:num_lists].copy()
+    for _ in range(iters):
+        assign = np.argmax(v @ c.T, axis=1)
+        for j in range(len(c)):
+            members = v[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-30)
+    return c
+
+
+class IvfAssign:
+    """map_batches stage: nearest-centroid list id per vector. Plain callable
+    (task pool, not actors): the centroid matrix is tiny (L×D floats) and
+    ships in the closure — reserving actor CPUs for it would starve the other
+    stages on small clusters."""
+
+    def __init__(self, centroids: np.ndarray, vec_col: str = "embedding"):
+        self.c = centroids
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch[self.vec_col].to_pylist(), self.vec_col)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        lists = np.argmax(m @ self.c.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_list", pa.array(lists))
+
+
+def knn_ivf(ds, query_ids: list[int], k: int = 5, num_lists: int = 16,
+            nprobe: int = 4, train_sample: int = 4096,
+            id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF ANN top-k: a deterministic k-means coarse quantizer partitions the
+    vectors into inverted lists; each query probes only its nprobe nearest
+    lists and scores exactly within them. The scale path when the LSH
+    variant's recall tuning is awkward: recall rises monotonically with
+    nprobe and hits 1.0 at nprobe=num_lists (= brute force)."""
+    import ray
+
+    sample = ds.limit(train_sample).take_all()
+    train = _matrix([r[vec_col] for r in sample], vec_col)
+    cents = train_ivf(train, num_lists)
+
+    q_ids, q_mat = _fetch_query_vectors(ds, query_ids, id_col, vec_col)
+    qn = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30)
+    sims_qc = qn @ cents.T  # (Q, L)
+    probe = min(nprobe, num_lists)
+    probed = set(np.argpartition(-sims_qc, probe - 1, axis=1)[:, :probe]
+                 .ravel().tolist())
+    ref = ray.put((q_ids, q_mat))
+
+    assigned = ds.map_batches(IvfAssign(cents, vec_col),
+                              batch_format="pyarrow", batch_size=4096)
+    in_lists = assigned.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t["ivf_list"], value_set=pa.array(sorted(probed)))
+        ),
+        batch_format="pyarrow",
+    )
+    cands = in_lists.map_batches(KnnScorer, fn_constructor_args=(ref, k),
+                                 batch_format="pyarrow", batch_size=4096,
+                                 concurrency=2)
+    cands = cands.filter(expr="query_id != neighbor_id")
+
+    def topk(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("cosine", "descending"), ("neighbor_id", "ascending")]).slice(0, k)
+        return g.append_column("rank", pa.array(np.arange(1, len(g) + 1), pa.int64()))
+
+    return cands.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
 class LshBuckets:
     """Random-hyperplane LSH signatures: bucket = sign-bit string of r
     projections. Deterministic (fixed seed); same family for index and query."""

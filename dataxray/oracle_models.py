@@ -176,6 +176,46 @@ def multimodal_features(sf_dir: str, n_windows: int = 8) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# knn_ivf_top5 — numpy recompute of the IVF probe + exact in-list top-k
+# ---------------------------------------------------------------------------
+
+
+def knn_ivf_top5(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5,
+                 num_lists: int = 16, nprobe: int = 4,
+                 train_sample: int = 4096) -> pa.Table:
+    from .functions.similarity import train_ivf
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    cents = train_ivf(mat[:train_sample], num_lists)
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    lists = np.argmax(norm @ cents.T, axis=1)
+
+    q_pos = {int(q): np.nonzero(ids == q)[0][0] for q in query_ids}
+    sims_qc = norm[[q_pos[q] for q in sorted(q_pos)]] @ cents.T
+    probe = min(nprobe, num_lists)
+    probed = set(np.argpartition(-sims_qc, probe - 1, axis=1)[:, :probe]
+                 .ravel().tolist())
+    in_lists = np.isin(lists, sorted(probed))
+
+    out = {"query_id": [], "neighbor_id": [], "rank": []}
+    for qid in sorted(q_pos):
+        sims = norm[in_lists] @ norm[q_pos[qid]]
+        cand = ids[in_lists]
+        keep = cand != qid
+        order = np.lexsort((cand[keep], -sims[keep]))[:k]
+        for r, j in enumerate(order, start=1):
+            out["query_id"].append(qid)
+            out["neighbor_id"].append(int(cand[keep][j]))
+            out["rank"].append(r)
+    return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
+                     "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                     "rank": pa.array(out["rank"], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
 # knn_lsh_top5 — numpy recompute of bucket-filtered exact cosine top-k
 # ---------------------------------------------------------------------------
 

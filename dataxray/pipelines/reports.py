@@ -525,6 +525,23 @@ def anti_join_inactive_customers(sf_dir: str):
     return ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=2)
 
 
+def anti_join_bloom(sf_dir: str):
+    """Same anti-join semantics as anti_join_inactive_customers, but via the
+    Bloom-prefilter + left_anti verification path (functions/bloom.py) — the
+    shape for key sets too large to broadcast exactly."""
+    from ..functions.bloom import bloom_anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("c_custkey"),
+                               "c_custkey", pc.cast(t["c_custkey"], pa.int64())),
+        batch_format="pyarrow")
+    events = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda t: pa.table({"user_id": pc.cast(t["user_id"], pa.int64())}),
+        batch_format="pyarrow")
+    out = bloom_anti_join(cust, events, "c_custkey", "user_id")
+    return out.select_columns(["c_custkey", "c_name"])
+
+
 def union_all_keys(sf_dir: str):
     """Dataset.union (the set-op surface): one keyed row stream from two
     tables, tagged by source."""
@@ -740,6 +757,15 @@ def knn_lsh_top5(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return knn_lsh(ds, query_ids=KNN_QUERY_IDS[:3], k=KNN_K).select_columns(
+        ["query_id", "neighbor_id", "rank"]
+    )
+
+
+def knn_ivf_top5(sf_dir: str):
+    from ..functions.similarity import knn_ivf
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf(ds, query_ids=KNN_QUERY_IDS[:3], k=KNN_K).select_columns(
         ["query_id", "neighbor_id", "rank"]
     )
 

@@ -73,6 +73,9 @@ class LocalLakeFS:
     def mtime(self, path: str) -> float:
         return os.path.getmtime(path)
 
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
     # --- objects ---
     def read_json(self, path: str) -> dict:
         with open(path) as f:
@@ -153,6 +156,10 @@ class ObjectLakeFS:
         if info is None or info.mtime is None:
             return 0.0
         return info.mtime.timestamp()
+
+    def size(self, path: str) -> int:
+        info = self._info(path)
+        return int(info.size) if info is not None and info.size is not None else 0
 
     # --- objects ---
     def read_json(self, path: str) -> dict:

@@ -282,11 +282,27 @@ class Lake:
         self.cleanup_staging(run_id)
         return status
 
-    def compact_all(self, parallel: bool = True) -> int:
-        """Compact every delta-bearing partition; returns count compacted.
-        Distributed when Ray is up (one task per partition)."""
+    def delta_bytes(self, p: int) -> int:
+        """Bytes held in a partition's delta files (files after the base)."""
+        m = self.manifest(p)
+        if m is None or m.get("n_deltas", 0) == 0:
+            return 0
+        return sum(self.fs.size(self._p(f)) for f in m["files"][1:])
+
+    def compact_all(self, parallel: bool = True,
+                    min_delta_bytes: int | None = None) -> int:
+        """Compact delta-bearing partitions; returns count compacted.
+        Distributed when Ray is up (one task per partition).
+
+        min_delta_bytes schedules by accumulated DELTA VOLUME rather than
+        file count: a hot partition with many large deltas compacts early, a
+        cold one with a few tiny deltas is left alone — the knob that keeps
+        steady-state compaction I/O proportional to churn, not to partition
+        count."""
         parts = [p for p in self.watermarks()
                  if (self.manifest(p) or {}).get("n_deltas", 0) > 0]
+        if min_delta_bytes is not None:
+            parts = [p for p in parts if self.delta_bytes(p) >= min_delta_bytes]
         if not parts:
             return 0
         if parallel:

@@ -104,6 +104,21 @@ def test_dataset_read_resolves_deltas(data_dir, oracle_df, tmp_path, scheme):
     assert got == oracle_df["url"].tolist()
 
 
+def test_compaction_scheduling_by_delta_bytes(data_dir, tmp_path, scheme):
+    """min_delta_bytes gates compaction on accumulated delta volume."""
+    lake_dir = scheme + str(tmp_path / "lake")
+    cfg = ReplayConfig(num_partitions=4, sink_mode="delta", compact_threshold=100)
+    _epoch_replay(data_dir, lake_dir, cfg, tmp_path)
+    lake = Lake(lake_dir)
+    assert any(lake.delta_bytes(p) > 0 for p in range(4))
+    # impossible threshold → nothing compacts
+    assert lake.compact_all(min_delta_bytes=1 << 40) == 0
+    assert all(lake.manifest(p).get("n_deltas", 0) > 0 for p in range(4))
+    # 1-byte threshold → everything with deltas compacts
+    assert lake.compact_all(min_delta_bytes=1) == 4
+    assert all(lake.delta_bytes(p) == 0 for p in range(4))
+
+
 def test_explicit_compaction(data_dir, oracle_df, tmp_path, scheme):
     """Lake.compact_all resolves deltas into single bases at unchanged
     watermarks; state and subsequent replays are unaffected."""

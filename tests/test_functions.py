@@ -125,6 +125,21 @@ def test_knn_lsh_subset_of_bruteforce(embs):
     assert len(out) <= 3 and all(r["query_id"] == 5 for r in out)
 
 
+def test_knn_ivf_recall_and_exact_at_full_probe(embs):
+    from dataxray.functions.similarity import knn_bruteforce, knn_ivf
+
+    exact = knn_bruteforce(embs, query_ids=[0, 1], k=3).take_all()
+    # nprobe == num_lists probes everything → identical to brute force
+    full = knn_ivf(embs, query_ids=[0, 1], k=3, num_lists=8, nprobe=8).take_all()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)  # noqa: E731
+    assert key(full) == key(exact)
+    # partial probe: valid ranked output, recall measured against exact
+    part = knn_ivf(embs, query_ids=[0, 1], k=3, num_lists=8, nprobe=2).take_all()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    part_set = {(r["query_id"], r["neighbor_id"]) for r in part}
+    assert len(part_set & exact_set) / len(exact_set) >= 0.5
+
+
 def test_embedding_dup_pairs_canonical(embs):
     from dataxray.functions.dedup import embedding_dup_pairs
 
