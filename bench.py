@@ -39,7 +39,8 @@ NUM_PARTITIONS = 64
 QUERY_NAMES = [
     "cdc_lww_replay", "dx_digest", "transform_chain", "agg_pricing_summary",
     "broadcast_join_segments", "window_tumbling", "dedup_exact_groups",
-    "token_stats", "knn_cosine_top5",
+    "token_stats", "knn_cosine_top5", "session_windows", "global_topk_orders",
+    "anti_join_bloom", "langid_pred", "minhash_dedup", "knn_ivf_top5",
 ]
 
 
@@ -231,6 +232,62 @@ def scaling() -> None:
     }))
 
 
+def scaling_weak() -> None:
+    """Weak-scaling proxy: data grows with parallelism (8 CPUs on a quarter
+    of the events vs 32 CPUs on all of them), so per-CPU load is constant —
+    the closer analog of 'N nodes → 4N nodes on 4× the shard count', and
+    insensitive to the single box's fixed memory bandwidth that caps the
+    strong-scaling ratio. Ideal: equal wall time → efficiency 1.0."""
+    small_gen = dict(GEN, n_urls=GEN["n_urls"] // 4, n_events=GEN["n_events"] // 4,
+                     n_shards=GEN["n_shards"] // 4)
+    prep = (
+        "import ray, sys, json; sys.path.insert(0,'.'); "
+        "ray.init(address='local', num_cpus=8, include_dashboard=False, logging_level='ERROR'); "
+        "import bench; bench.prepare_data(); "
+        "from dataxray.gen import GenConfig, write_dataset; "
+        f"write_dataset('{BENCH_DATA}-q', GenConfig(**{small_gen!r})); "
+        "ray.shutdown()"
+    )
+    subprocess.run([sys.executable, "-c", prep], check=True,
+                   cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+    best: dict[int, float | None] = {8: None, 32: None}
+    events = {8: small_gen["n_events"] + small_gen["n_urls"],
+              32: GEN["n_events"] + GEN["n_urls"]}
+    for _round in range(3):
+        for ncpu, data_dir in ((8, BENCH_DATA + "-q"), (32, BENCH_DATA)):
+            prog = (
+                "import ray, sys, time, shutil, os, json; sys.path.insert(0,'.'); "
+                f"ray.init(address='local', num_cpus={ncpu}, include_dashboard=False, logging_level='ERROR'); "
+                "from ray.data import DataContext; from ray.data.context import ShuffleStrategy; "
+                "ctx = DataContext.get_current(); ctx.enable_progress_bars = False; "
+                f"ctx.read_op_min_num_blocks = {ncpu * 2}; "
+                "ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED; "
+                "from dataxray.pipelines.replay import ReplayConfig, replay; "
+                "lake = '/tmp/dataxray_bench/wlake'; shutil.rmtree(lake, ignore_errors=True); "
+                "t0 = time.perf_counter(); "
+                f"replay(os.path.join('{data_dir}', 'events'), lake, "
+                f"pages_path=os.path.join('{data_dir}', 'pages.parquet'), "
+                f"cfg=ReplayConfig(num_partitions={NUM_PARTITIONS})); "
+                "print(json.dumps({'sec': time.perf_counter() - t0})); "
+                "shutil.rmtree(lake, ignore_errors=True); ray.shutdown()"
+            )
+            out = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                                 text=True, check=True,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+            sec = json.loads(out.stdout.strip().splitlines()[-1])["sec"]
+            best[ncpu] = sec if best[ncpu] is None else min(best[ncpu], sec)
+    thr8 = events[8] / best[8]
+    thr32 = events[32] / best[32]
+    print(json.dumps({
+        "metric": "weak_scaling_efficiency_8_to_32",
+        "sec_8_quarter_data": round(best[8], 3),
+        "sec_32_full_data": round(best[32], 3),
+        "events_per_sec_8": round(thr8, 1),
+        "events_per_sec_32": round(thr32, 1),
+        "weak_scaling_efficiency": round(thr32 / (4 * thr8), 3),
+    }))
+
+
 def headline_only() -> None:
     import ray
 
@@ -253,7 +310,9 @@ def headline_only() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-weak" in sys.argv:
+        scaling_weak()
+    elif "--scaling" in sys.argv:
         scaling()
     elif "--headline-only" in sys.argv:
         headline_only()

@@ -337,10 +337,12 @@ class Lake:
             return pa.table({})
         return pa.concat_tables(parts, promote_options="permissive")
 
-    def dataset(self, **kwargs):
+    def dataset(self, columns: list[str] | None = None, **kwargs):
         """Distributed read of the current lake snapshot. Partitions with
         delta files resolve inside one remote task each (partition-local LWW
-        — no shuffle); pure-base partitions stream via read_parquet."""
+        — no shuffle); pure-base partitions stream via read_parquet. Column
+        pruning applies on BOTH paths (delta resolution must still read the
+        key/lineage/op columns to run LWW, then projects)."""
         import ray
         import ray.data
 
@@ -352,13 +354,15 @@ class Lake:
         if base_files:
             if self.fs.pafs is not None and "filesystem" not in kwargs:
                 kwargs = {**kwargs, "filesystem": self.fs.pafs}
-            pieces.append(ray.data.read_parquet(base_files, **kwargs))
+            pieces.append(ray.data.read_parquet(base_files, columns=columns,
+                                                **kwargs))
         if delta_parts:
             root = self.root
 
             @ray.remote(num_cpus=1)
             def _resolve(p: int):
-                return Lake(root).resolve(p)
+                t = Lake(root).resolve(p)
+                return t.select(columns) if columns else t
 
             pieces.append(ray.data.from_arrow_refs(
                 [_resolve.remote(p) for p in sorted(delta_parts)]

@@ -104,6 +104,19 @@ def test_dataset_read_resolves_deltas(data_dir, oracle_df, tmp_path, scheme):
     assert got == oracle_df["url"].tolist()
 
 
+def test_dataset_column_pruning_spans_delta_and_base(data_dir, oracle_df,
+                                                     tmp_path, scheme):
+    """columns= prunes on both the base read and the delta-resolution path."""
+    lake = scheme + str(tmp_path / "lake")
+    cfg = ReplayConfig(num_partitions=4, sink_mode="delta", compact_threshold=100)
+    _epoch_replay(data_dir, lake, cfg, tmp_path)
+    ds = Lake(lake).dataset(columns=["url", "txn_id"])
+    rows = ds.take_all()
+    assert len(rows) == len(oracle_df)
+    assert set(rows[0].keys()) == {"url", "txn_id"}
+    assert sorted(r["url"] for r in rows) == oracle_df["url"].tolist()
+
+
 def test_compaction_scheduling_by_delta_bytes(data_dir, tmp_path, scheme):
     """min_delta_bytes gates compaction on accumulated delta volume."""
     lake_dir = scheme + str(tmp_path / "lake")
