@@ -77,6 +77,11 @@ def _resolve_reader_paths(param: dict):
     paths = param["path"] if isinstance(param["path"], list) else [param["path"]]
     if not any("://" in p for p in paths):
         return _expand_paths(param), None
+    schemes = {p.split("://", 1)[0] if "://" in p else "<local>" for p in paths}
+    if len(schemes) > 1:
+        raise ValueError(
+            f"reader path list mixes filesystems {sorted(schemes)}; "
+            "use one scheme per content entry")
     import fsspec
 
     _cache_fsspec_http_probe()  # ray's fs-type probe trips on missing aiohttp
@@ -112,18 +117,26 @@ def _reader_csv(param: dict, channels: int):
     kwargs = {}
     if comp == "zip":
         # zip members extract locally first (the reference's cycle-reading,
-        # UnstructuredStorageReaderUtil.java:160-180) then read as plain CSV
+        # UnstructuredStorageReaderUtil.java:160-180) then read as plain CSV.
+        # Remote archives are fetched through the resolved filesystem; the
+        # extracted members are LOCAL, so fs must not apply to them
+        import io
         import tempfile
         import zipfile
 
         tmp = tempfile.mkdtemp(prefix="dataxray_zip_")
         extracted = []
         for f in files:
-            with zipfile.ZipFile(f) as z:
+            if fs is not None:
+                with fs.open(f, "rb") as src:
+                    zf = zipfile.ZipFile(io.BytesIO(src.read()))
+            else:
+                zf = zipfile.ZipFile(f)
+            with zf as z:
                 for m in z.namelist():
                     z.extract(m, tmp)
                     extracted.append(os.path.join(tmp, m))
-        files = extracted
+        files, fs = extracted, None
     elif comp in _CSV_CODECS:
         kwargs["arrow_open_stream_args"] = {"compression": _CSV_CODECS[comp]}
     elif comp != "auto":
@@ -270,7 +283,10 @@ def _writer_stream(ds, param: dict) -> dict:
     """streamwriter: count (and optionally print) — the smoke-test sink used
     by the reference's default job (core/src/main/job/job.json)."""
     if param.get("print"):
-        for row in ds.take(int(param.get("printLimit", 10))):
+        # preview from the uncounted upstream: a second execution of the
+        # counted stage would double rows into the error-budget denominator
+        probe = getattr(ds, "_dataxray_uncounted", ds)
+        for row in probe.take(int(param.get("printLimit", 10))):
             print(row)
     return {"rows": ds.count()}
 
@@ -289,7 +305,9 @@ def _writer_rdbms(ds, param: dict) -> dict:
 
     schema = None
     if param.get("createTable"):
-        s = ds.schema()
+        # schema probe on the uncounted upstream (see _writer_stream note)
+        probe = getattr(ds, "_dataxray_uncounted", ds)
+        s = probe.schema()
         schema = getattr(s, "base_schema", None) or pa.schema(
             list(zip(s.names, s.types)))
     rep = rdbms.write_table(
@@ -505,7 +523,12 @@ def run_job(job: dict, dry_run: bool = False) -> dict:
         tally = None
         if dirty_dir is not None:
             tally = _RowTally()
-            ds = tally.stage(ds)
+            counted = tally.stage(ds)
+            # writers that probe schema or preview rows would EXECUTE the
+            # counted stage extra times and inflate the budget denominator —
+            # give them the uncounted upstream for those probes
+            counted._dataxray_uncounted = ds
+            ds = counted
         sink_report = WRITERS[wname](ds, content["writer"].get("parameter", {}))
 
         n_dirty = 0

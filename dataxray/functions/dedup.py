@@ -191,14 +191,23 @@ def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
         lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
 
-    sh_a = ds.map_batches(Shingler(shingle_k, id_col, "id_a", "sh_a"),
-                          batch_format="pyarrow", batch_size=1024)
-    sh_b = ds.map_batches(Shingler(shingle_k, id_col, "id_b", "sh_b"),
-                          batch_format="pyarrow", batch_size=1024)
-    joined = pairs.join(sh_a, join_type="inner", num_partitions=join_partitions,
-                        on=("id_a",))
-    joined = joined.join(sh_b, join_type="inner", num_partitions=join_partitions,
-                         on=("id_b",))
+    # ONE shingle scan serves both joins (right_on): shingling re-tokenizes
+    # every document, so a second Shingler pass would double the verify-side
+    # scan cost at corpus scale
+    sh = ds.map_batches(Shingler(shingle_k, id_col, "sid", "sh"),
+                        batch_format="pyarrow", batch_size=1024)
+    joined = pairs.join(sh, join_type="inner", num_partitions=join_partitions,
+                        on=("id_a",), right_on=("sid",))
+    joined = joined.map_batches(
+        lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                            "sh_a": t["sh"]}),
+        batch_format="pyarrow")
+    joined = joined.join(sh, join_type="inner", num_partitions=join_partitions,
+                         on=("id_b",), right_on=("sid",))
+    joined = joined.map_batches(
+        lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                            "sh_a": t["sh_a"], "sh_b": t["sh"]}),
+        batch_format="pyarrow")
 
     def verify(batch: pa.Table) -> pa.Table:
         out = {"id_a": [], "id_b": [], "jaccard": []}
@@ -295,14 +304,26 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
 # ---------------------------------------------------------------------------
 
 
-def _pairs_between(ids_a, mat_a, ids_b, mat_b, threshold: float) -> pa.Table:
+def _pairs_between(ids_a, mat_a, ids_b, mat_b, threshold: float,
+                   same_block: bool = True) -> pa.Table:
     """Canonical (id_a < id_b) cosine pairs ≥ threshold between two
-    normalized blocks — one matmul, vectorized extraction."""
+    normalized blocks — one matmul, vectorized extraction.
+
+    same_block=True: each unordered id pair appears at BOTH (i,j) and (j,i)
+    in the sim matrix, so `a < b` both canonicalizes and dedups. Cross-block
+    pairs are computed in only ONE orientation — there `a < b` would DROP
+    pairs whose ids happen to be ordered against the block order (blocks are
+    not globally id-sorted after any shuffle), so canonicalize by swap."""
     sims = mat_a @ mat_b.T
     ii, jj = np.nonzero(sims >= threshold)
     a, b = ids_a[ii], ids_b[jj]
-    keep = a < b  # canonical order; also drops self-pairs on the diagonal
-    lo, hi = a[keep], b[keep]
+    if same_block:
+        keep = a < b  # also drops self-pairs on the diagonal
+        lo, hi = a[keep], b[keep]
+    else:
+        keep = a != b  # a block pair can still share an id after a shuffle
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
     return pa.table({"id_a": pa.array(lo, type=pa.int64()),
                      "id_b": pa.array(hi, type=pa.int64()),
                      "cosine": pa.array(sims[ii[keep], jj[keep]], pa.float64())})
@@ -335,9 +356,11 @@ def embedding_dup_pairs(ds, threshold: float = 0.3, id_col: str = "vec_id",
     def cross(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
         ids_a, mat_a = _norm_block(ta, id_col, vec_col)
         if same:
-            return _pairs_between(ids_a, mat_a, ids_a, mat_a, threshold)
+            return _pairs_between(ids_a, mat_a, ids_a, mat_a, threshold,
+                                  same_block=True)
         ids_b, mat_b = _norm_block(tb, id_col, vec_col)
-        return _pairs_between(ids_a, mat_a, ids_b, mat_b, threshold)
+        return _pairs_between(ids_a, mat_a, ids_b, mat_b, threshold,
+                              same_block=False)
 
     out = [cross.remote(refs[i], refs[j], i == j)
            for i in range(len(refs)) for j in range(i, len(refs))]

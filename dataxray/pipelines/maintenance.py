@@ -98,7 +98,11 @@ def sweep_staging(lake_root: str, max_age_sec: float = 3600.0) -> int:
     for name in fs.list_names(staging):
         d = os.path.join(staging, name)
         try:
-            if now - fs.mtime(d) > max_age_sec:
+            m = fs.mtime(d)
+            # unknown mtime (e.g. virtual S3 directory prefixes report none)
+            # must NOT read as "infinitely old" — that would sweep a
+            # concurrently running replay's live staging. Skip instead.
+            if m > 0 and now - m > max_age_sec:
                 fs.delete_tree(d)
                 removed += 1
         except FileNotFoundError:  # pragma: no cover

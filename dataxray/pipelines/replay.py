@@ -360,9 +360,10 @@ def replay(
     if dirty_dir is not None:
         n_dirty = check_budget(dirty_dir, rows_hint, cfg.error_limit)
     report.total_error_records = n_dirty
-    # exact applied count from the merge side (sum of post-watermark-filter
-    # source events per partition) — the footer rows hint would double-count
-    # rows re-read from unpruned files on incremental epochs
+    # applied count from the merge side (sum of post-watermark-filter source
+    # events per partition) — the footer rows hint re-counted every row of
+    # every re-read file on incremental epochs. See lww_reduce_counted for
+    # the (bounded) residual combiner-absorption approximation.
     report.read_succeed_records = sum(int(m["n_events"]) for m in meta_rows)
 
     # ---- exactly-once commit loop (driver, label = (partition, txn_hi)) ----

@@ -167,6 +167,22 @@ def test_embedding_dup_pairs_matches_numpy_allpairs(embs):
     assert got == expect
 
 
+def test_embedding_dup_pairs_unsorted_blocks():
+    """Blocks are NOT globally id-sorted after any shuffle: a qualifying
+    cross-block pair whose ids are ordered against the block order must
+    still surface (canonicalized by swap, not dropped)."""
+    from dataxray.functions.dedup import embedding_dup_pairs
+
+    v = [1.0, 0.0, 0.0]
+    # block 0 holds the HIGHER id, block 1 the lower — identical vectors
+    b0 = pa.table({"vec_id": pa.array([10], pa.int64()), "embedding": [v]})
+    b1 = pa.table({"vec_id": pa.array([5], pa.int64()), "embedding": [v]})
+    ds = ray.data.from_arrow([b0, b1])
+    got = {(p["id_a"], p["id_b"])
+           for p in embedding_dup_pairs(ds, threshold=0.9).take_all()}
+    assert got == {(5, 10)}
+
+
 def test_embedding_dup_lsh_recall_vs_exact(embs):
     """The LSH-bucketed scale path: perfect precision (in-bucket scoring is
     exact cosine) and measured recall against the exact all-pairs result."""
