@@ -103,6 +103,7 @@ class TailReport:
     epochs_applied: int = 0
     events_applied: int = 0
     polls: int = 0
+    compactions: int = 0  # streaming compactions (compact_over_bytes)
     runs: list = field(default_factory=list)
 
 
@@ -114,10 +115,20 @@ def tail_replay(
     poll_sec: float = 0.5,
     idle_polls: int = 3,
     max_epochs: int | None = None,
+    compact_over_bytes: int | None = None,
 ) -> TailReport:
     """Tail ``events_dir`` until idle. Every poll that finds unapplied txns
     runs one exactly-once replay epoch; crashes mid-tail resume exactly like
-    any replay (manifest watermarks)."""
+    any replay (manifest watermarks).
+
+    compact_over_bytes enables STREAMING compaction for delta-mode sinks:
+    between epochs, partitions whose accumulated delta volume crosses the
+    threshold are compacted (distributed, one task each) — churn-driven
+    maintenance interleaved with ingest, instead of a separate offline pass.
+    Compaction is label-safe (same txn_hi), so a crash mid-compact resumes
+    like any other run."""
+    from ..state.manifest import Lake
+
     report = TailReport()
     idle = 0
     first = True
@@ -136,6 +147,9 @@ def tail_replay(
             report.events_applied += rep.read_succeed_records
             report.runs.append(rep.run_id)
             idle = 0
+            if compact_over_bytes is not None:
+                report.compactions += Lake(lake_dir).compact_all(
+                    min_delta_bytes=compact_over_bytes)
         else:
             idle += 1
             if idle < idle_polls:

@@ -90,8 +90,10 @@ def lww_reduce_counted(table: pa.Table, key: str = "url") -> pa.Table:
         return table.append_column(CNT_COL, pa.array(cnt))
     codes = _key_codes(table, key)
     idx = np.sort(lww_winner_indices(table, key, codes=codes))
+    if len(idx) == n:  # all keys unique — nothing reduced, counts unchanged
+        return table.append_column(CNT_COL, pa.array(cnt))
     sums = np.bincount(codes, weights=cnt).astype(np.int64)
-    out = table if len(idx) == n else table.take(pa.array(idx))
+    out = table.take(pa.array(idx))
     return out.append_column(CNT_COL, pa.array(sums[codes[idx]]))
 
 

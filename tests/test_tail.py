@@ -60,6 +60,44 @@ def test_tail_consumes_live_appends(tmp_path):
     assert got["text"].tolist() == oracle["text"].tolist()
 
 
+def test_tail_streaming_compaction(tmp_path):
+    """Delta-mode tail with compact_over_bytes: partitions compact between
+    epochs once their delta volume crosses the threshold, lake state stays
+    oracle-correct throughout."""
+    cfg_gen = GenConfig(n_urls=150, n_events=1_500, n_shards=6, html_mean=16)
+    src = str(tmp_path / "gen")
+    write_dataset(src, cfg_gen, parallel=False)
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    files = sorted(os.listdir(os.path.join(src, "events")))
+    # stage all shards up-front; max_epochs=1 per call gives us epoch control
+    rep_total = 0
+    from dataxray.state.manifest import Lake as L
+
+    for i, f in enumerate(files):
+        shutil.copy(os.path.join(src, "events", f), wal)
+        rep = tail_replay(wal, str(tmp_path / "lake"),
+                          pages_path=os.path.join(src, "pages.parquet") if i == 0 else None,
+                          cfg=ReplayConfig(num_partitions=4, sink_mode="delta",
+                                           compact_threshold=1000),
+                          poll_sec=0.05, idle_polls=1, max_epochs=1,
+                          compact_over_bytes=1)  # compact on ANY delta bytes
+        rep_total += rep.compactions
+    assert rep_total > 0  # streaming compaction actually fired
+    lake = L(str(tmp_path / "lake"))
+    assert all(lake.manifest(p).get("n_deltas", 0) == 0
+               for p in range(4) if lake.manifest(p))
+
+    pages = generate_pages(cfg_gen)
+    events = pa.concat_tables(
+        [generate_event_shard(cfg_gen, s) for s in range(cfg_gen.n_shards)],
+        promote_options="permissive")
+    oracle = sequential_oracle(pages, events)
+    got = lake.read_all().to_pandas().sort_values("url").reset_index(drop=True)
+    assert got["url"].tolist() == oracle["url"].tolist()
+    assert got["text"].tolist() == oracle["text"].tolist()
+
+
 def test_chunked_replay_keeps_split_txn_in_one_chunk(tmp_path):
     """A transaction whose rows straddle two WAL files must not straddle a
     chunk boundary: chunk i's watermark advance would silently drop the
