@@ -133,9 +133,12 @@ def _reader_csv(param: dict, channels: int):
             else:
                 zf = zipfile.ZipFile(f)
             with zf as z:
-                for m in z.namelist():
-                    z.extract(m, tmp)
-                    extracted.append(os.path.join(tmp, m))
+                for info in z.infolist():
+                    if info.is_dir():
+                        continue  # a dir entry read as a path would re-read
+                        # its members (double-counted rows)
+                    z.extract(info, tmp)
+                    extracted.append(os.path.join(tmp, info.filename))
         files, fs = extracted, None
     elif comp in _CSV_CODECS:
         kwargs["arrow_open_stream_args"] = {"compression": _CSV_CODECS[comp]}
@@ -370,7 +373,11 @@ class _RowTally:
             ray.get(actor.add.remote(len(batch)))
             return batch
 
-        return ds.map_batches(count, batch_format="pyarrow")
+        # max_retries=0: a retried counting task would re-add its rows and
+        # inflate the error-budget denominator (letting a job that should
+        # fail errorLimit.percentage pass). Failing loudly on a lost worker
+        # beats silently mis-enforcing the budget contract.
+        return ds.map_batches(count, batch_format="pyarrow", max_retries=0)
 
     def total(self) -> int:
         import ray

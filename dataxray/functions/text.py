@@ -80,8 +80,9 @@ class LangId:
     """
 
     # RE2 equivalent of python's [\w']+ tokens under re.U: unicode letters,
-    # unicode digits, underscore, apostrophe (split on everything else)
-    _SPLIT = r"[^\p{L}\p{N}_']+"
+    # combining marks (\w matches \p{M} — without it NFD-decomposed text
+    # tokenizes differently), unicode digits, underscore, apostrophe
+    _SPLIT = r"[^\p{L}\p{M}\p{N}_']+"
 
     def __init__(self, stopwords: dict[str, set[str]] | None = None):
         self.stop = stopwords or _STOPWORDS

@@ -107,7 +107,10 @@ def plan_splits(db_path: str, table: str, split_pk: str | None,
     if lo is None:
         return [base or "1=1"]
     lo, hi = int(lo), int(hi)
-    bounds = np.linspace(lo, hi + 1, num_splits + 1, dtype=np.int64)
+    # exact integer split arithmetic (SingleTableSplitUtil does BigInteger):
+    # np.linspace works in float64, which cannot represent ints >= 2^53 —
+    # boundary rows near lo/hi would match no range clause and silently drop
+    bounds = [lo + (hi + 1 - lo) * i // num_splits for i in range(num_splits + 1)]
     clauses = [
         _and(f"{split_pk} >= {bounds[i]} AND {split_pk} < {bounds[i + 1]}")
         for i in range(num_splits) if bounds[i] < bounds[i + 1]

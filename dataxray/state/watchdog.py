@@ -77,9 +77,17 @@ class Watchdog:
         self._thread.start()
 
     def stop(self) -> None:
+        import ray
+
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=5)
+        # terminate the zero-CPU monitor: long-lived tail sessions create one
+        # Watchdog per epoch and leaked actors would accumulate unboundedly
+        try:
+            ray.kill(self.monitor, no_restart=True)
+        except Exception:
+            pass
 
     def stalled(self) -> list[int]:
         return sorted(self._stalled)
