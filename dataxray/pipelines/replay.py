@@ -139,15 +139,12 @@ class _AssignCombineFuse:
         return self.combine(self.assign(block))
 
 
-def _warn_if_backlog_exceeds_memory(events_dir: str, low: int) -> None:
+def _warn_if_backlog_exceeds_memory(files) -> None:
     """One replay's sort shuffle holds the pass's decoded events in the
     object store; a backlog much larger than the store spills to disk and
     collapses throughput ~10x (measured, BASELINE.md). Steer big backlogs
     to pipelines.tail.replay_chunked instead of degrading silently."""
-    import os as _os
     import warnings
-
-    from ..sources.wal import prune_files, scan_event_files
 
     try:
         import ray
@@ -157,8 +154,7 @@ def _warn_if_backlog_exceeds_memory(events_dir: str, low: int) -> None:
         return
     if not store:
         return
-    nbytes = sum(_os.path.getsize(f.path)
-                 for f in prune_files(scan_event_files(events_dir), max(low, 0)))
+    nbytes = sum(f.nbytes for f in files)
     # zstd parquet decodes to roughly 3-5x in Arrow; warn at ~1/8 of store
     if nbytes * 4 > store / 2:
         warnings.warn(
@@ -184,7 +180,7 @@ def _pages_as_events(pages_ds, target: pa.Schema):
 
 
 def replay(
-    events_dir: str | None,
+    events_dir,  # str dir (local or mocks3://, s3://) | list[EventFile] | None
     lake_dir: str,
     pages_path: str | None = None,
     cfg: ReplayConfig = ReplayConfig(),
@@ -193,6 +189,8 @@ def replay(
 
     Can be called repeatedly (epochs, crash-resume, duplicate delivery): the
     manifests' per-partition txn watermarks make every re-application a no-op.
+    ``events_dir`` may also be an explicit list of wal.EventFile (the chunked
+    backlog path) — every path in it must be visible cluster-wide.
     """
     started = time.perf_counter()
     run_id = uuid.uuid4().hex[:12]
@@ -235,9 +233,12 @@ def replay(
     rows_hint = 0
     txn_hi_run = low
     if events_dir is not None:
-        ev_ds, ev_schema, n, txn_hi_run = wal.read_events(events_dir, low_watermark=low)
+        # resolve the source ONCE (a dir path — local or object-store — or a
+        # pre-scanned cluster-visible file list from replay_chunked)
+        ev_files = wal.prune_files(wal.resolve_files(events_dir), low)
+        ev_ds, ev_schema, n, txn_hi_run = wal.read_events(ev_files, low_watermark=low)
         if ev_ds is not None:
-            _warn_if_backlog_exceeds_memory(events_dir, low)
+            _warn_if_backlog_exceeds_memory(ev_files)
             streams.append(("events", ev_ds))
             schemas.append(ev_schema)
             rows_hint += n

@@ -11,10 +11,7 @@ epochs, whichever first. A long-lived service passes float('inf')/None.
 
 from __future__ import annotations
 
-import os
-import shutil
 import time
-import uuid
 from dataclasses import dataclass, field
 
 from ..state.checkpoint import RunReport
@@ -39,6 +36,11 @@ def replay_chunked(
     a crash mid-backlog resumes at the next chunk. Pair with
     cfg.sink_mode="delta" so each chunk appends O(chunk) instead of
     rewriting partition state per pass.
+
+    Cluster-safe: each chunk is passed to replay() as its real EventFile
+    list (original storage paths every worker node can open) — never a
+    driver-local staging/symlink directory, which would only exist on the
+    driver's filesystem. Works over local dirs and mocks3:///s3:// prefixes.
     """
     from ..sources.wal import prune_files, scan_event_files
     from ..state.checkpoint import global_low_watermark
@@ -73,7 +75,7 @@ def replay_chunked(
     chunks: list[list] = [[]]
     size = 0
     for unit, _hi in units:
-        usize = sum(os.path.getsize(f.path) for f in unit)
+        usize = sum(f.nbytes for f in unit)
         if chunks[-1] and size + usize > max_chunk_bytes:
             chunks.append([])
             size = 0
@@ -81,20 +83,14 @@ def replay_chunked(
         size += usize
 
     reports = []
-    chunk_dir_base = os.path.join("/tmp", "dataxray_chunks", uuid.uuid4().hex[:8])
-    for i, chunk in enumerate(chunks):
+    first_chunk = True
+    for chunk in chunks:
         if not chunk:
             continue
-        cdir = os.path.join(chunk_dir_base, f"chunk-{i:04d}")
-        os.makedirs(cdir, exist_ok=True)
-        for f in chunk:
-            link = os.path.join(cdir, os.path.basename(f.path))
-            if not os.path.exists(link):
-                os.symlink(f.path, link)
-        reports.append(replay(cdir, lake_dir,
-                              pages_path=pages_path if i == 0 else None,
+        reports.append(replay(chunk, lake_dir,
+                              pages_path=pages_path if first_chunk else None,
                               cfg=cfg))
-    shutil.rmtree(chunk_dir_base, ignore_errors=True)
+        first_chunk = False
     return reports
 
 

@@ -133,6 +133,39 @@ def test_chunked_replay_keeps_split_txn_in_one_chunk(tmp_path):
     assert got["text"].tolist() == ["winner", "w2"]
 
 
+def test_chunked_replay_mocks3_source_no_symlinks(tmp_path):
+    """Cluster-safety of the 10^10-event path: chunks are passed to replay()
+    as real EventFile lists (object-store paths every node can open), never
+    a driver-local symlink dir. Evidence: the WAL and the lake both live
+    behind mocks3:// (the no-rename object-store backend), the chunked
+    replay still matches the sequential oracle, and no dataxray chunk
+    staging ever appears under /tmp."""
+    import glob as globmod
+
+    from dataxray.pipelines.tail import replay_chunked
+
+    cfg = GenConfig(n_urls=200, n_events=2_000, n_shards=8, html_mean=16)
+    src = str(tmp_path / "gen")
+    write_dataset(src, cfg, parallel=False)
+    lake = "mocks3://" + str(tmp_path / "lake")
+    reports = replay_chunked("mocks3://" + os.path.join(src, "events"), lake,
+                             pages_path=os.path.join(src, "pages.parquet"),
+                             cfg=ReplayConfig(num_partitions=4, sink_mode="delta",
+                                              compact_threshold=4),
+                             max_chunk_bytes=40_000)  # force several chunks
+    assert len(reports) >= 3
+    assert not globmod.glob("/tmp/dataxray_chunks/*")  # no driver-local staging
+
+    pages = generate_pages(cfg)
+    events = pa.concat_tables(
+        [generate_event_shard(cfg, s) for s in range(cfg.n_shards)],
+        promote_options="permissive")
+    oracle = sequential_oracle(pages, events)
+    got = Lake(lake).read_all().to_pandas().sort_values("url").reset_index(drop=True)
+    assert got["url"].tolist() == oracle["url"].tolist()
+    assert got["text"].tolist() == oracle["text"].tolist()
+
+
 def test_chunked_replay_matches_oracle(tmp_path):
     from dataxray.pipelines.tail import replay_chunked
 
