@@ -117,8 +117,10 @@ def bloom_anti_join(left_ds, keys_ds, left_key: str, right_key: str,
 
     negatives = left_ds.map_batches(split(False), batch_format="pyarrow")
     positives = left_ds.map_batches(split(True), batch_format="pyarrow")
-    keys_only = keys_ds.groupby(right_key).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # distinct keys via C-speed tree aggregate, not a row-cardinality groupby
+    from ..stages.hashagg import tree_distinct
+
+    keys_only = tree_distinct(keys_ds.select_columns([right_key]), [right_key])
     verified = positives.join(keys_only, join_type="left_anti",
                               num_partitions=join_partitions,
                               on=(left_key,), right_on=(right_key,))

@@ -38,14 +38,23 @@ def add_content_key(batch: pa.Table, col: str = "text", out: str = "content_key"
 
 
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
-    """Keep the min-id row per distinct content. groupby shuffles only after
-    the content key exists, so equal rows co-locate by hash."""
-    ds = ds.map_batches(lambda t: add_content_key(t, col), batch_format="pyarrow")
+    """Keep the min-id row per distinct content. Winner selection is a
+    C-speed tree aggregate (content keys ≈ rows — exactly the cardinality
+    regime where a groupby().map_groups keep-first collapses, ~8k groups/s);
+    winners then pull their full rows back via one inner hash join."""
+    from ..stages.hashagg import tree_aggregate
 
-    def keep_first(g: pa.Table) -> pa.Table:
-        return g.sort_by(id_col).slice(0, 1)
+    keyed = ds.map_batches(lambda t: add_content_key(t, col), batch_format="pyarrow")
 
-    return ds.groupby("content_key").map_groups(keep_first, batch_format="pyarrow")
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["content_key", id_col]),
+                            ["content_key"]).aggregate([(id_col, "min")])
+        return g.rename_columns(["content_key", "_keep"])
+
+    winners = tree_aggregate(keyed, ["content_key"], partial, {"_keep": "min"})
+    out = keyed.join(winners, join_type="inner", num_partitions=8,
+                     on=("content_key", id_col), right_on=("content_key", "_keep"))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -120,17 +129,104 @@ def candidate_pairs_from_bucket(g: pa.Table, id_col: str = "doc_id",
     keep the first max_bucket ids (sorted: deterministic) and log the drop;
     real dup clusters that large are better handled by exact_dedup on the
     degenerate key."""
-    ids = sorted(g[id_col].to_pylist())
+    ids = np.sort(np.asarray(g[id_col].combine_chunks().to_numpy(
+        zero_copy_only=False), dtype=np.int64))
     if len(ids) > max_bucket:
         print(f"[dedup] LSH bucket of {len(ids)} docs capped to {max_bucket} "
               f"({len(ids) - max_bucket} dropped)")
         ids = ids[:max_bucket]
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+    ii, jj = np.triu_indices(len(ids), k=1)
+    return pa.table({"id_a": pa.array(ids[ii], pa.int64()),
+                     "id_b": pa.array(ids[jj], pa.int64())})
+
+
+def pairs_from_buckets(hot_ds, key_col: str, pair_fn,
+                       keys: list[str], combine: dict[str, str],
+                       hot_rows: int, small_limit: int = 2_000_000):
+    """Candidate pairs from a (pre-filtered) bucket-membership dataset.
+
+    hot_ds holds ONLY pair-producing buckets (multi_member_buckets), so its
+    size is O(dup-cluster memberships), not O(corpus). For the common case
+    (hot_rows ≤ small_limit) the whole expansion runs in ONE Ray task —
+    concat, sort by bucket, per-bucket pair_fn, then an in-task
+    pa.TableGroupBy distinct — because a full sort-shuffle groupby plus a
+    distinct tree over a few thousand rows is pure fixed overhead (measured:
+    ~1.5 s of a 6 s query). Degenerate corpora fall back to the distributed
+    groupby + tree distinct."""
+    import ray
+    import ray.data
+
+    from ..stages.hashagg import _combine_once, tree_distinct
+
+    if hot_rows <= small_limit:
+        @ray.remote(num_cpus=1)
+        def expand(*tables: pa.Table) -> pa.Table:
+            if not tables:
+                return pair_fn(pa.concat_tables([]))  # pragma: no cover
+            t = pa.concat_tables(tables).sort_by([(key_col, "ascending")])
+            if len(t) == 0:
+                return _combine_once(keys, combine, pair_fn(t))
+            # run boundaries: dictionary codes of a sorted column are
+            # non-decreasing (codes assigned at first appearance)
+            codes = t[key_col].combine_chunks().dictionary_encode() \
+                .indices.to_numpy(zero_copy_only=False)
+            bounds = np.flatnonzero(np.diff(codes)) + 1
+            outs, start = [], 0
+            for end in list(bounds) + [len(t)]:
+                outs.append(pair_fn(t.slice(start, end - start)))
+                start = end
+            return _combine_once(keys, combine,
+                                 pa.concat_tables(outs))
+
+        refs = list(hot_ds.to_arrow_refs())
+        return ray.data.from_arrow_refs([expand.remote(*refs)])
+
+    pairs = hot_ds.groupby(key_col).map_groups(pair_fn, batch_format="pyarrow")
+    return tree_distinct(pairs, keys, combine=combine or None)
+
+
+def multi_member_buckets(ds, key_col: str, join_partitions: int = 8,
+                         broadcast_limit: int = 4_000_000):
+    """Drop singleton buckets BEFORE a bucket groupby. Bucket count ≈
+    rows (every doc appears in every band/table), but only buckets with ≥2
+    members can produce a candidate pair — and on real corpora nearly all
+    buckets are singletons. Counting runs as a C-speed tree aggregate
+    (pa.TableGroupBy partials + fan-in); the surviving hot-key set is
+    bounded by the true dup-cluster count, so it is broadcast once
+    (ray.put, read per task — never re-shipped per batch) and membership is
+    a vectorized is_in filter. A degenerate corpus whose hot-key set
+    exceeds ``broadcast_limit`` falls back to an inner hash join — the
+    shuffle is then the cheaper side of the trade.
+
+    Returns (filtered_ds, hot_member_rows) — the row count steers the
+    downstream pair expansion (pairs_from_buckets single-task fast path)."""
+    import ray
+
+    from ..stages.hashagg import tree_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select([key_col]), [key_col]) \
+            .aggregate([(key_col, "count")])
+        return g.rename_columns([key_col, "_bn"])
+
+    # the input is consumed TWICE (count pass + membership filter) — persist
+    # its blocks so the signature computation upstream doesn't run twice;
+    # bucket rows are narrow (key + id), so blocks spill rather than recompute
+    ds = ds.materialize()
+    multi = tree_aggregate(ds, [key_col], partial, {"_bn": "sum"}) \
+        .filter(expr="_bn >= 2")
+    keys_tbl = pa.concat_tables(ray.get(multi.to_arrow_refs()))
+    hot_rows = int(pc.sum(keys_tbl["_bn"]).as_py() or 0)
+    if len(keys_tbl) <= broadcast_limit:
+        ref = ray.put(keys_tbl[key_col].combine_chunks())
+
+        def filt(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t[key_col], value_set=ray.get(ref)))
+
+        return ds.map_batches(filt, batch_format="pyarrow"), hot_rows
+    out = ds.join(multi, join_type="inner", num_partitions=join_partitions,
+                  on=(key_col,))
+    return out.drop_columns(["_bn"]), hot_rows
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -169,13 +265,17 @@ def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
     (id_a, id_b, jaccard ≥ threshold).
 
     Every step is a Dataset transform — nothing materializes the corpus on
-    the driver and nothing broadcasts it to workers:
-      1. signatures per batch (numpy), band-explode, bucket groupby →
-         candidate pairs (bucket size capped: skew guard);
-      2. distinct-ify pairs (a pair can surface from several bands);
-      3. verification = exact shingle-set Jaccard via TWO hash joins:
-         pairs ⋈ shingles(id_a) ⋈ shingles(id_b) — only candidate rows and
-         shingle hash lists shuffle, the text never moves again.
+    the driver and nothing broadcasts the corpus to workers:
+      1. signatures per batch (numpy), band-explode; singleton buckets are
+         dropped by a C-speed count (tree aggregate + broadcast hot-key
+         filter) BEFORE the per-bucket pair expansion, which is therefore
+         O(dup clusters), not O(corpus); bucket size capped (skew guard);
+      2. distinct-ify pairs as a tree aggregate (a pair can surface from
+         several bands);
+      3. verification = exact shingle-set Jaccard over CANDIDATE docs only:
+         re-tokenization runs on is_in-filtered rows, and the small
+         candidate shingle table is broadcast to the verifier (falls back
+         to two keyed hash joins when the candidate set is degenerate-huge).
     """
     sig = ds.map_batches(MinHasher(num_perm, shingle_k), batch_format="pyarrow",
                          batch_size=1024)
@@ -183,19 +283,70 @@ def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
         lambda t: explode_bands(t.select([id_col, "minhash"]), num_bands, id_col),
         batch_format="pyarrow",
     )
-    pairs = bands.groupby("band_key").map_groups(
+    # singleton buckets (the overwhelming majority) never reach the per-group
+    # Python stage; pair expansion + distinct collapse into one task for
+    # dup-cluster-sized hot sets (pairs_from_buckets), else a distributed
+    # groupby + tree distinct — never a row-cardinality groupby
+    bands, hot_rows = multi_member_buckets(bands, "band_key", join_partitions)
+    pairs = pairs_from_buckets(
+        bands, "band_key",
         lambda g: candidate_pairs_from_bucket(g, id_col, max_bucket),
-        batch_format="pyarrow",
-    )
-    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+        ["id_a", "id_b"], {}, hot_rows,
     )
 
-    # ONE shingle scan serves both joins (right_on): shingling re-tokenizes
-    # every document, so a second Shingler pass would double the verify-side
-    # scan cost at corpus scale
-    sh = ds.map_batches(Shingler(shingle_k, id_col, "sid", "sh"),
-                        batch_format="pyarrow", batch_size=1024)
+    # ---- verification: exact shingle-set Jaccard over CANDIDATE docs only.
+    # Candidate ids (distinct over both pair sides) are a tiny fraction of
+    # the corpus, so the expensive re-tokenization (Shingler) runs only on
+    # matching rows — the full corpus text never tokenizes twice and never
+    # moves. The candidate shingle table is bounded by the LSH bucket caps.
+    import ray
+
+    def both_sides(t: pa.Table) -> pa.Table:
+        return pa.table({"sid": pa.concat_arrays(
+            [t["id_a"].combine_chunks(), t["id_b"].combine_chunks()])})
+
+    from ..stages.hashagg import tree_distinct as _td
+
+    cand_ids = pa.concat_tables(ray.get(
+        _td(pairs.map_batches(both_sides, batch_format="pyarrow"), ["sid"])
+        .to_arrow_refs()))["sid"].combine_chunks()
+    ids_ref = ray.put(cand_ids)
+
+    sh = ds.map_batches(
+        lambda t: t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()),
+                                    value_set=ray.get(ids_ref))),
+        batch_format="pyarrow",
+    ).map_batches(Shingler(shingle_k, id_col, "sid", "sh"),
+                  batch_format="pyarrow", batch_size=1024)
+
+    if len(cand_ids) <= 2_000_000:
+        # common case: broadcast the candidate shingle table once (refs move
+        # via the object store, assembled per task — pairs is one block, so
+        # one task; a plain function avoids actor-pool spin-up)
+        sh_refs = list(sh.to_arrow_refs())
+
+        def broadcast_verify(batch: pa.Table) -> pa.Table:
+            tbl = pa.concat_tables(ray.get(list(sh_refs)))
+            lut = dict(zip(tbl["sid"].to_pylist(), tbl["sh"].to_pylist()))
+            out = {"id_a": [], "id_b": [], "jaccard": []}
+            for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+                sa = set(np.frombuffer(lut.get(a, b""), dtype=np.uint64).tolist())
+                sb = set(np.frombuffer(lut.get(b, b""), dtype=np.uint64).tolist())
+                j = 1.0 if not sa and not sb else len(sa & sb) / max(len(sa | sb), 1)
+                if j >= threshold:
+                    out["id_a"].append(a)
+                    out["id_b"].append(b)
+                    out["jaccard"].append(j)
+            return pa.table({"id_a": pa.array(out["id_a"], pa.int64()),
+                             "id_b": pa.array(out["id_b"], pa.int64()),
+                             "jaccard": pa.array(out["jaccard"], pa.float64())})
+
+        return pairs.map_batches(broadcast_verify, batch_format="pyarrow")
+
+    # degenerate corpora (huge candidate sets): two keyed hash joins keep the
+    # verify fully shuffled — shingle lists ride as packed binary (Acero
+    # rejects list payload columns; np.frombuffer unpacks zero-copy)
+    sh = sh.materialize()  # consumed by BOTH joins — don't re-shingle
     joined = pairs.join(sh, join_type="inner", num_partitions=join_partitions,
                         on=("id_a",), right_on=("sid",))
     joined = joined.map_batches(
@@ -259,6 +410,9 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
 def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
     """Near-dup pairs by SimHash: bucket on each of 4×16-bit chunks (pigeonhole
     guarantees Hamming ≤ 3 pairs share some chunk), verify distance in-bucket."""
@@ -277,26 +431,33 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
                          "simhash": pa.array(sims, pa.int64())})
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        rows = sorted(zip(g[id_col].to_pylist(), g["simhash"].to_pylist()))
-        a, b, d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if rows[i][0] == rows[j][0]:
-                    continue
-                dist = hamming64(rows[i][1], rows[j][1])
-                if dist <= max_hamming:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    d.append(dist)
-        return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64()),
-                         "hamming": pa.array(d, pa.int64())})
+        """Vectorized in-bucket verify: popcount over the XOR matrix of the
+        bucket's signatures (buckets are small — only pair-producing ones
+        arrive here)."""
+        order = np.lexsort((
+            np.asarray(g["simhash"].combine_chunks().to_numpy(zero_copy_only=False)),
+            np.asarray(g[id_col].combine_chunks().to_numpy(zero_copy_only=False)),
+        ))
+        ids = np.asarray(g[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False), dtype=np.int64)[order]
+        sims = np.asarray(g["simhash"].combine_chunks().to_numpy(
+            zero_copy_only=False), dtype=np.int64)[order].view(np.uint64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        x = sims[ii] ^ sims[jj]
+        dist = np.zeros(len(x), dtype=np.int64)
+        for shift in range(0, 64, 8):  # bytewise popcount via lookup
+            dist += _POPCNT8[(x >> np.uint64(shift)) & np.uint64(0xFF)]
+        keep = (dist <= max_hamming) & (ids[ii] != ids[jj])
+        return pa.table({"id_a": pa.array(ids[ii][keep], pa.int64()),
+                         "id_b": pa.array(ids[jj][keep], pa.int64()),
+                         "hamming": pa.array(dist[keep], pa.int64())})
 
-    pairs = sig.map_batches(
+    buckets = sig.map_batches(
         lambda t: explode(t.select([id_col, "simhash"])), batch_format="pyarrow"
-    ).groupby("chunk_key").map_groups(bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
+    buckets, hot_rows = multi_member_buckets(buckets, "chunk_key")
+    return pairs_from_buckets(buckets, "chunk_key", bucket_pairs,
+                              ["id_a", "id_b"], {"hamming": "min"}, hot_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -407,9 +568,16 @@ def embedding_dup_pairs_lsh(ds, threshold: float = 0.3, id_col: str = "vec_id",
         ids, mat = _norm_block(g, id_col, vec_col)
         return _pairs_between(ids, mat, ids, mat, threshold)
 
-    pairs = ds.map_batches(explode, batch_format="pyarrow", batch_size=1024) \
-        .groupby("bucket").map_groups(score_bucket, batch_format="pyarrow")
-    # a pair can collide in several tables — distinct-ify
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    from ..stages.hashagg import tree_distinct
+
+    # no singleton-bucket prefilter here: the bucket space is bounded by
+    # construction (num_tables × 2^num_planes keys — low-cardinality), and
+    # the join would have to carry the list<float> payload (Acero rejects
+    # list payload columns)
+    exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=1024)
+    pairs = exploded.groupby("bucket").map_groups(score_bucket,
+                                                  batch_format="pyarrow")
+    # a pair can collide in several tables — distinct-ify (max: the cosine is
+    # the same dot product in every table; max makes any float jitter
+    # across bucket shapes resolve deterministically)
+    return tree_distinct(pairs, ["id_a", "id_b"], combine={"cosine": "max"})

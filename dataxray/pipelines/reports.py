@@ -669,16 +669,23 @@ def cli_job_roundtrip(sf_dir: str):
 
 
 def dedup_exact_groups(sf_dir: str):
-    from ray.data.aggregate import Count, Min
-
     from ..functions.dedup import add_content_key
+    from ..stages.hashagg import tree_aggregate
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     keyed = ds.map_batches(lambda t: add_content_key(t).drop_columns(["text"]),
                            batch_format="pyarrow")
-    return keyed.groupby("content_key").aggregate(
-        Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups")
-    )
+
+    # content keys ≈ rows: Ray's groupby().aggregate() per-group overhead
+    # dominates at that cardinality (stages/hashagg.py) — run the combine on
+    # pa.TableGroupBy partials up a fan-in tree instead
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["content_key"]).aggregate(
+            [("doc_id", "min"), ("doc_id", "count")])
+        return g.rename_columns(["content_key", "keep_id", "n_dups"])
+
+    return tree_aggregate(keyed, ["content_key"], partial,
+                          {"keep_id": "min", "n_dups": "sum"})
 
 
 def token_stats(sf_dir: str):

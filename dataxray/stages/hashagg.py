@@ -51,3 +51,24 @@ def tree_aggregate(ds, keys: list[str], partial, combine: dict[str, str],
     if not refs:
         return ray.data.from_items([])
     return ray.data.from_arrow_refs(refs)
+
+
+def tree_distinct(ds, keys: list[str], combine: dict[str, str] | None = None,
+                  fanin: int = 8):
+    """Distinct rows over ``keys`` — the replacement for
+    ``groupby(keys).map_groups(lambda g: g.slice(0, 1))``, whose per-group
+    overhead collapses when group count ≈ row count (the regime this module
+    exists for). Optional ``combine`` carries value columns through with an
+    associative reducer (e.g. {"hamming": "min"}) so duplicates that differ
+    only in a derived metric resolve deterministically.
+
+    Scale note: the tree root holds the full distinct set in one block; for
+    results that are themselves huge (≈ corpus-sized), hash-partition first
+    and run this per partition instead.
+    """
+    combine = dict(combine or {})
+    cols = keys + [c for c in combine if c not in keys]
+    return tree_aggregate(
+        ds, keys,
+        lambda t: _combine_once(keys, combine, t.select(cols)),
+        combine, fanin)
