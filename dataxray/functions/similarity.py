@@ -13,8 +13,33 @@ import numpy as np
 import pyarrow as pa
 
 
-def _matrix(rows, vec_col):
-    return np.stack([np.asarray(v, dtype=np.float64) for v in rows])
+def _matrix(col, vec_col=None):
+    """float64 matrix from an embedding column. Arrow list<float> inputs go
+    through the flat values buffer (no per-row Python objects) when the list
+    is rectangular — the embedding contract; python-list inputs (driver-side
+    query rows) and ragged lists fall back to np.stack."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        if len(col) == 0:
+            return np.zeros((0, 0), dtype=np.float64)
+        mat = None
+        if pa.types.is_fixed_size_list(col.type):
+            flat = col.values.to_numpy(zero_copy_only=False)
+            mat = flat.reshape(len(col), col.type.list_size)
+        elif pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            offs = col.offsets.to_numpy()
+            widths = np.diff(offs)
+            if col.null_count == 0 and (widths == widths[0]).all():
+                flat = col.values.to_numpy(zero_copy_only=False)
+                mat = flat[offs[0]:offs[-1]].reshape(len(col), int(widths[0]))
+        if mat is not None:
+            mat = mat.astype(np.float64, copy=False)
+            if not mat.flags.writeable:  # plasma buffers are read-only;
+                mat = mat.copy()         # callers normalize in place
+            return mat
+        col = col.to_pylist()
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
 
 class KnnScorer:
@@ -33,7 +58,7 @@ class KnnScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        m = _matrix(batch["embedding"].to_pylist(), "embedding")
+        m = _matrix(batch["embedding"])
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         sims = self.q @ m.T  # (Q, B)
         # per-batch partial top-k: only k+1 candidates per query leave the
@@ -128,7 +153,7 @@ class IvfAssign:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _matrix(batch[self.vec_col].to_pylist(), self.vec_col)
+        m = _matrix(batch[self.vec_col])
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         lists = np.argmax(m @ self.c.T, axis=1).astype(np.int64)
         return batch.append_column("ivf_list", pa.array(lists))
@@ -189,7 +214,7 @@ class LshBuckets:
         return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _matrix(batch["embedding"].to_pylist(), "embedding")
+        m = _matrix(batch["embedding"])
         return batch.append_column("lsh_bucket", pa.array(self.bucket_of(m)))
 
 
