@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_pred": R.langid_pred,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
+        "minhash_dedup_incremental": R.minhash_dedup_incremental,
         "simhash_signatures": R.simhash_signatures,
         "doc_fingerprints": R.doc_fingerprints,
         "knn_lsh_top5": R.knn_lsh_top5,
@@ -128,6 +129,8 @@ def reference_models() -> dict[str, Callable[[str], Any]]:
 
     return {
         "minhash_dedup": M.minhash_dedup,
+        # same full-recompute model: the incremental epochs must union to it
+        "minhash_dedup_incremental": M.minhash_dedup,
         "simhash_signatures": M.simhash_signatures,
         "doc_fingerprints": M.doc_fingerprints,
         "knn_lsh_top5": M.knn_lsh_top5,

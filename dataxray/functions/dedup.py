@@ -294,11 +294,20 @@ def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
         ["id_a", "id_b"], {}, hot_rows,
     )
 
-    # ---- verification: exact shingle-set Jaccard over CANDIDATE docs only.
-    # Candidate ids (distinct over both pair sides) are a tiny fraction of
-    # the corpus, so the expensive re-tokenization (Shingler) runs only on
-    # matching rows — the full corpus text never tokenizes twice and never
-    # moves. The candidate shingle table is bounded by the LSH bucket caps.
+    return verify_pairs_jaccard(ds, pairs, threshold=threshold,
+                                shingle_k=shingle_k, id_col=id_col,
+                                join_partitions=join_partitions)
+
+
+def verify_pairs_jaccard(ds, pairs, threshold: float = 0.7, shingle_k: int = 3,
+                         id_col: str = "doc_id", join_partitions: int = 8):
+    """Exact shingle-set Jaccard verification of candidate (id_a, id_b)
+    pairs against the corpus ``ds`` — emits (id_a, id_b, jaccard ≥ threshold).
+
+    Candidate ids (distinct over both pair sides) are a tiny fraction of
+    the corpus, so the expensive re-tokenization (Shingler) runs only on
+    matching rows — the full corpus text never tokenizes twice and never
+    moves. The candidate shingle table is bounded by the LSH bucket caps."""
     import ray
 
     def both_sides(t: pa.Table) -> pa.Table:

@@ -734,6 +734,40 @@ def minhash_dedup(sf_dir: str):
     return minhash_dedup_pairs(ds, threshold=0.5)
 
 
+def minhash_dedup_incremental(sf_dir: str):
+    """Two-epoch incremental near-dup via the persistent LSH sidecar index:
+    epoch 1 indexes even doc_ids, epoch 2 ingests the odd half probing the
+    stored bands — old docs are never re-shingled. The pair union must equal
+    the one-shot minhash_dedup recompute (same reference model checks both).
+    """
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow.compute as _pc
+    import ray
+
+    from ..state.dedup_index import MinHashIndex
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    even = docs.map_batches(
+        lambda t: t.filter(_pc.equal(_pc.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    odd = docs.map_batches(
+        lambda t: t.filter(_pc.equal(_pc.bit_wise_and(t["doc_id"], 1), 1)),
+        batch_format="pyarrow")
+    root = f"/tmp/dataxray_minhash_idx_{_uuid.uuid4().hex[:8]}"
+    try:
+        idx = MinHashIndex(root).create()
+        p1 = idx.ingest(even, docs, threshold=0.5, label="epoch1")
+        p2 = idx.ingest(odd, docs, threshold=0.5, label="epoch2")
+        return pa.concat_tables([
+            pa.concat_tables(ray.get(p1.to_arrow_refs())),
+            pa.concat_tables(ray.get(p2.to_arrow_refs())),
+        ]).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def simhash_signatures(sf_dir: str):
     from ..functions.dedup import SimHasher
 

@@ -1,0 +1,91 @@
+"""Persistent MinHash/LSH sidecar index (state.dedup_index)."""
+
+import pyarrow as pa
+import pytest
+
+from dataxray.state.dedup_index import MinHashIndex
+
+
+def _docs():
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again!",  # near-dup of 0
+        "completely different content about ray data pipelines at scale",
+        "completely different content about ray data pipelines at scale",  # exact dup of 2
+        "a third unrelated document mentioning parquet and arrow buffers",
+        "the quick brown fox jumps over the lazy dog again and once more",  # near 0/1
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def _pairs_set(ds):
+    t = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    return set(zip(t["id_a"], t["id_b"]))
+
+
+@pytest.mark.parametrize("scheme", ["", "mocks3://"])
+def test_incremental_equals_one_shot(tmp_path, scheme):
+    import ray.data
+
+    from dataxray.functions.dedup import minhash_dedup_pairs
+
+    docs = _docs()
+    full = _pairs_set(minhash_dedup_pairs(
+        ray.data.from_arrow(docs), threshold=0.5))
+    assert full  # sanity: the fixture contains dups
+
+    root = f"{scheme}{tmp_path / 'idx'}"
+    idx = MinHashIndex(root).create()
+    corpus = ray.data.from_arrow(docs)
+    e1 = docs.filter(pa.compute.less(docs["doc_id"], 3))
+    e2 = docs.filter(pa.compute.greater_equal(docs["doc_id"], 3))
+    p1 = _pairs_set(idx.ingest(ray.data.from_arrow(e1), corpus,
+                               threshold=0.5, label="e1"))
+    p2 = _pairs_set(idx.ingest(ray.data.from_arrow(e2), corpus,
+                               threshold=0.5, label="e2"))
+    assert p1 | p2 == full
+    assert not (p1 & p2)  # epochs never re-deliver a pair
+
+
+def test_replayed_label_is_noop(tmp_path):
+    import ray.data
+
+    docs = _docs()
+    idx = MinHashIndex(str(tmp_path / "idx")).create()
+    corpus = ray.data.from_arrow(docs)
+    first = _pairs_set(idx.ingest(corpus, corpus, threshold=0.5, label="e1"))
+    assert first
+    rows_before = idx.indexed_rows()
+    again = idx.ingest(corpus, corpus, threshold=0.5, label="e1")
+    assert again.count() == 0
+    assert idx.indexed_rows() == rows_before
+
+
+def test_probe_reads_only_touched_buckets(tmp_path):
+    """File-level pruning: _live_files restricted to a bucket set returns a
+    strict subset once the index spans several buckets."""
+    import ray.data
+
+    docs = _docs()
+    idx = MinHashIndex(str(tmp_path / "idx")).create(num_buckets=8)
+    idx.ingest(ray.data.from_arrow(docs), ray.data.from_arrow(docs),
+               threshold=0.5, label="e1")
+    all_files = idx._live_files()
+    buckets = {f["bucket"] for e in idx.meta()["epochs"].values()
+               for f in e["files"]}
+    assert len(buckets) > 1
+    one = next(iter(buckets))
+    pruned = idx._live_files({one})
+    assert 0 < len(pruned) < len(all_files)
+
+
+def test_empty_epoch_commits_label(tmp_path):
+    import ray.data
+
+    docs = _docs()
+    idx = MinHashIndex(str(tmp_path / "idx")).create()
+    empty = ray.data.from_arrow(docs.slice(0, 0))
+    out = idx.ingest(empty, ray.data.from_arrow(docs), label="e1")
+    assert out.count() == 0
+    assert "e1" in idx.meta()["epochs"]
