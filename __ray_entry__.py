@@ -27,6 +27,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lww_replay": R.cdc_lww_replay,
         "cdc_lww_salted": R.cdc_lww_salted,
         "cdc_incremental": R.cdc_incremental,
+        "lake_predicate_scan": R.lake_predicate_scan,
         # --- dx_* transform surface ---
         "dx_substr": R.dx_substr_part,
         "dx_pad": R.dx_pad_nation,
@@ -144,6 +145,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_replay": _CDC_SQL,
         "cdc_lww_salted": _CDC_SQL,
         "cdc_incremental": _CDC_SQL,
+        "lake_predicate_scan": (
+            _CDC_SQL + " AND url >= 'https://user2' AND url < 'https://user7'"
+        ),
         "dx_substr": "SELECT p_partkey, substr(p_name, 3, 8) AS p_sub FROM part",
         "dx_pad": "SELECT n_nationkey, lpad(n_name, 12, '*') AS n_padded FROM nation",
         "dx_replace": (

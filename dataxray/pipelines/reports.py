@@ -150,6 +150,39 @@ def cdc_incremental(sf_dir: str) -> pa.Table:
     return cdc_lww_replay(sf_dir, epochs=4)
 
 
+def lake_predicate_scan(sf_dir: str) -> pa.Table:
+    """Delta-aware predicate pushdown (state/predicate.py): replay the WAL
+    in two delta epochs (so the lake holds delta-bearing partitions), then
+    scan the snapshot with a pushed url-range predicate — footer-stats
+    file/partition pruning, Arrow scan filter on base files, and
+    post-LWW-resolve filtering inside each delta partition."""
+    wal = _events_as_wal(sf_dir)
+    lake_dir = _scratch(sf_dir, "lake-pred")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    cfg = ReplayConfig(num_partitions=16, sink_mode="delta",
+                       compact_threshold=100)
+    files = sorted(f for f in os.listdir(wal) if f.endswith(".parquet"))
+    staged = _scratch(sf_dir, "walstage-pred")
+    shutil.rmtree(staged, ignore_errors=True)
+    os.makedirs(staged)
+    chunk = max(1, len(files) // 2)
+    for i in range(0, len(files), chunk):
+        for f in files[i : i + chunk]:
+            shutil.copy(os.path.join(wal, f), staged)
+        replay(staged, lake_dir, cfg=cfg)
+    lake = Lake(lake_dir)
+    assert lake.scan_plan(None)["delta_parts_total"] > 0
+    ds = lake.dataset(
+        columns=["url", "txn_id", "warc_ts", "text", "lang"],
+        predicate=[("url", ">=", "https://user2"), ("url", "<", "https://user7")],
+    )
+    import ray
+
+    t = pa.concat_tables(ray.get(ds.to_arrow_refs()),
+                         promote_options="permissive")
+    return t.select(["url", "txn_id", "warc_ts", "text", "lang"]).sort_by("url")
+
+
 # ---------------------------------------------------------------------------
 # dx_* transforms (column names match the oracle aliases)
 # ---------------------------------------------------------------------------

@@ -337,35 +337,80 @@ class Lake:
             return pa.table({})
         return pa.concat_tables(parts, promote_options="permissive")
 
-    def dataset(self, columns: list[str] | None = None, **kwargs):
+    def scan_plan(self, predicate=None) -> dict:
+        """Plan a snapshot scan: split partitions into pure-base vs
+        delta-bearing, then prune with parquet footer statistics when a
+        predicate is given (state.predicate: file-level for base partitions,
+        whole-partition for delta partitions — delta resolution must read
+        every surviving partition's full lineage, so per-file pruning there
+        would be unsound). Returns the plan plus pruning counters so callers
+        and tests can verify fewer files are opened."""
+        from .predicate import normalize
+
+        pred = normalize(predicate)
+        wm = self.watermarks()
+        delta_parts = sorted(
+            p for p in wm if (self.manifest(p) or {}).get("n_deltas", 0) > 0)
+        base_files = [f for p in sorted(wm) if p not in delta_parts
+                      for f in self.partition_files(p)]
+        n_base, n_delta = len(base_files), len(delta_parts)
+        if pred is not None and pred.conjuncts:
+            base_files = [f for f in base_files
+                          if pred.file_may_match(self.fs, f)]
+            delta_parts = [p for p in delta_parts
+                           if any(pred.file_may_match(self.fs, f)
+                                  for f in self.partition_files(p))]
+        return {
+            "predicate": pred,
+            "base_files": base_files,
+            "delta_parts": delta_parts,
+            "base_files_total": n_base,
+            "base_files_pruned": n_base - len(base_files),
+            "delta_parts_total": n_delta,
+            "delta_parts_pruned": n_delta - len(delta_parts),
+        }
+
+    def dataset(self, columns: list[str] | None = None, predicate=None,
+                **kwargs):
         """Distributed read of the current lake snapshot. Partitions with
         delta files resolve inside one remote task each (partition-local LWW
         — no shuffle); pure-base partitions stream via read_parquet. Column
         pruning applies on BOTH paths (delta resolution must still read the
-        key/lineage/op columns to run LWW, then projects)."""
+        key/lineage/op columns to run LWW, then projects).
+
+        ``predicate`` — a list of ``(col, op, value)`` conjuncts or a
+        ``state.predicate.Predicate`` — pushes down in three layers (see
+        that module's docstring): footer-stats file/partition pruning, an
+        Arrow scan filter on the base path, and post-LWW-resolve filtering
+        inside each delta partition's resolve task."""
         import ray
         import ray.data
 
-        wm = self.watermarks()
-        delta_parts = [p for p in wm if (self.manifest(p) or {}).get("n_deltas", 0) > 0]
-        base_files = [f for p in sorted(wm) if p not in delta_parts
-                      for f in self.partition_files(p)]
+        plan = self.scan_plan(predicate)
+        pred = plan["predicate"]
         pieces = []
-        if base_files:
+        if plan["base_files"]:
             if self.fs.pafs is not None and "filesystem" not in kwargs:
                 kwargs = {**kwargs, "filesystem": self.fs.pafs}
-            pieces.append(ray.data.read_parquet(base_files, columns=columns,
-                                                **kwargs))
-        if delta_parts:
+            if pred is not None and pred.conjuncts:
+                kwargs = {**kwargs, "filter": pred.to_expression()}
+            pieces.append(ray.data.read_parquet(plan["base_files"],
+                                                columns=columns, **kwargs))
+        if plan["delta_parts"]:
             root = self.root
+            conjuncts = pred.conjuncts if pred is not None else []
 
             @ray.remote(num_cpus=1)
             def _resolve(p: int):
+                from .predicate import Predicate
+
                 t = Lake(root).resolve(p)
+                if conjuncts:
+                    t = Predicate(conjuncts).filter_table(t)
                 return t.select(columns) if columns else t
 
             pieces.append(ray.data.from_arrow_refs(
-                [_resolve.remote(p) for p in sorted(delta_parts)]
+                [_resolve.remote(p) for p in plan["delta_parts"]]
             ))
         if not pieces:
             return ray.data.from_items([])
