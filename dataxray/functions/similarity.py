@@ -161,17 +161,28 @@ class IvfAssign:
 
 def knn_ivf(ds, query_ids: list[int], k: int = 5, num_lists: int = 16,
             nprobe: int = 4, train_sample: int = 4096,
-            id_col: str = "vec_id", vec_col: str = "embedding"):
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            centroids: np.ndarray | None = None):
     """IVF ANN top-k: a deterministic k-means coarse quantizer partitions the
     vectors into inverted lists; each query probes only its nprobe nearest
     lists and scores exactly within them. The scale path when the LSH
     variant's recall tuning is awkward: recall rises monotonically with
-    nprobe and hits 1.0 at nprobe=num_lists (= brute force)."""
+    nprobe and hits 1.0 at nprobe=num_lists (= brute force).
+
+    ``centroids`` skips the in-query training pass — pass a stored quantizer
+    (state.ivf_index.IvfIndex) so repeated queries pay one small parquet
+    read instead of a corpus sample + k-means per call. Training is
+    deterministic, so stored-vs-retrained centroids are bit-identical for
+    the same table version."""
     import ray
 
-    sample = ds.limit(train_sample).take_all()
-    train = _matrix([r[vec_col] for r in sample], vec_col)
-    cents = train_ivf(train, num_lists)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+    else:
+        sample = ds.limit(train_sample).take_all()
+        train = _matrix([r[vec_col] for r in sample], vec_col)
+        cents = train_ivf(train, num_lists)
+    num_lists = len(cents)
 
     q_ids, q_mat = _fetch_query_vectors(ds, query_ids, id_col, vec_col)
     qn = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30)

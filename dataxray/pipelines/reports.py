@@ -836,10 +836,19 @@ def knn_lsh_top5(sf_dir: str):
 
 
 def knn_ivf_top5(sf_dir: str):
+    """IVF ANN through the persistent quantizer sidecar: the first call
+    trains and stores centroids keyed by the embeddings file's version;
+    subsequent calls (and other queries over the same table) load them —
+    training is deterministic, so results are identical either way."""
     from ..functions.similarity import knn_ivf
+    from ..state.ivf_index import IvfIndex, table_version
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return knn_ivf(ds, query_ids=KNN_QUERY_IDS[:3], k=KNN_K).select_columns(
+    idx = IvfIndex(_scratch(sf_dir, "ivf-index"))
+    cents = idx.get_or_build(
+        ds, table_version(os.path.join(sf_dir, "embeddings.parquet")))
+    return knn_ivf(ds, query_ids=KNN_QUERY_IDS[:3], k=KNN_K,
+                   centroids=cents).select_columns(
         ["query_id", "neighbor_id", "rank"]
     )
 
