@@ -197,6 +197,25 @@ class ObjectLakeFS:
             pass
 
 
+def s3_options() -> dict:
+    """S3FileSystem options from the environment. Credentials and the
+    default region come from the standard AWS_* variables (pyarrow reads
+    them natively); these add the knobs pyarrow does NOT read itself —
+    endpoint override (MinIO/localstack/on-prem gateways) and an explicit
+    region pin. Workers resolve the same root string with the same env, so
+    the options travel to every node without serializing a client."""
+    import os as _os
+
+    opts: dict = {}
+    if _os.environ.get("DATAXRAY_S3_ENDPOINT"):
+        opts["endpoint_override"] = _os.environ["DATAXRAY_S3_ENDPOINT"]
+    if _os.environ.get("DATAXRAY_S3_REGION"):
+        opts["region"] = _os.environ["DATAXRAY_S3_REGION"]
+    if _os.environ.get("DATAXRAY_S3_ALLOW_HTTP"):
+        opts["scheme"] = "http"
+    return opts
+
+
 def resolve(root: str) -> tuple[LocalLakeFS | ObjectLakeFS, str]:
     """Parse a lake root into (backend, base_path). Workers reconstruct the
     backend from the same root string (Lake(root) inside merge tasks)."""
@@ -209,7 +228,7 @@ def resolve(root: str) -> tuple[LocalLakeFS | ObjectLakeFS, str]:
         from pyarrow.fs import S3FileSystem
 
         base = root[len("s3://"):]
-        return ObjectLakeFS(S3FileSystem(), base, scheme="s3"), base
+        return ObjectLakeFS(S3FileSystem(**s3_options()), base, scheme="s3"), base
     if root.startswith("file://"):
         base = root[len("file://"):]
         return LocalLakeFS(base), base
