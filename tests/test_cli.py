@@ -131,34 +131,34 @@ def test_rate_limit_slows_job(tmp_path):
 
 def test_multi_content_runs_parallel(tmp_path):
     """Two content entries execute concurrently (one task pool, like DataX):
-    two rate-limited ~1s contents must finish in well under 2s sequential
+    two rate-limited ~2s contents must finish in well under 4s sequential
     time, and reports keep config order."""
     import time
 
     def content(out):
         return {
             "reader": {"name": "streamreader", "parameter": {
-                "sliceRecordCount": 300,
+                "sliceRecordCount": 600,
                 "column": [{"name": "k", "type": "long", "random": "0,9"}]}},
             "writer": {"name": "streamwriter", "parameter": {}},
         }
 
     job = {"job": {
         "setting": {"speed": {"channel": 1, "record": 300}},
-        "content": [content("a"), content("b")],
+        "content": [content("a"), content("b")],  # 600 rec @ 300 rec/s ≈ 2 s each
     }}
     # sequential baseline first (also warms the worker pools)
     job["job"]["setting"]["sequentialContent"] = True
     t0 = time.perf_counter()
     rep_seq = run_job(job)
     seq_wall = time.perf_counter() - t0
-    assert [c["rows"] for c in rep_seq["content"]] == [300, 300]
+    assert [c["rows"] for c in rep_seq["content"]] == [600, 600]
 
     del job["job"]["setting"]["sequentialContent"]
     t0 = time.perf_counter()
     rep = run_job(job)
     par_wall = time.perf_counter() - t0
-    assert [c["rows"] for c in rep["content"]] == [300, 300]
+    assert [c["rows"] for c in rep["content"]] == [600, 600]
     # two ~1s rate-limited contents overlap: clearly under the sequential wall
     assert par_wall < 0.8 * seq_wall, (
         f"contents did not overlap (par {par_wall:.2f}s vs seq {seq_wall:.2f}s)")
