@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": R.quality_stats,
         "knn_cosine_top5": R.knn_cosine_top5,
         "embedding_dup_ids": R.embedding_dup_ids,
+        "ngram_jaccard_dups": R.ngram_jaccard_dups,
         "langid_pred": R.langid_pred,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
@@ -289,5 +290,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.3"
+        ),
+        # word-trigram Jaccard with the same tokenization (whitespace split,
+        # drop empties) and k<3 fallback (whole text as one shingle) as
+        # functions/dedup.py shingles64
+        "ngram_jaccard_dups": (
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, CASE "
+            "WHEN len(w) = 0 THEN CAST([] AS VARCHAR[]) "
+            "WHEN len(w) < 3 THEN [array_to_string(w, ' ')] "
+            "ELSE list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS g FROM toks), "
+            "d AS (SELECT doc_id, list_distinct(g) AS g FROM sh WHERE len(g) > 0) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) "
+            "/ len(list_distinct(a.g || b.g)) >= 0.7"
         ),
     }

@@ -238,21 +238,50 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / max(len(sa | sb), 1)
 
 
+def shingles64(text: str, k: int = 3) -> np.ndarray:
+    """Sorted distinct 64-bit (blake2b) word-k-shingle hashes.
+
+    The EXACT dedup path hashes at 64 bits, not crc32: the ngram-Jaccard
+    operator's set intersections must equal string-set intersections, and a
+    32-bit space has birthday collisions at corpus scale (~0.3 expected
+    collisions per 50k distinct shingles) that would perturb Jaccard values.
+    At 2^64 a billion-shingle corpus still has ~1e-20 per-pair odds; a
+    128-bit digest is the upgrade path if that ever matters."""
+    from hashlib import blake2b
+
+    toks = text.split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    h = np.fromiter(
+        (int.from_bytes(blake2b(g.encode(), digest_size=8).digest(), "little")
+         for g in grams),
+        dtype=np.uint64, count=len(grams))
+    return np.unique(h)
+
+
 class Shingler:
     """map_batches stage emitting each doc's distinct shingle hashes as a
     list column — the verify currency that lets exact Jaccard run as a keyed
     join instead of re-reading (or broadcasting) the corpus text."""
 
     def __init__(self, shingle_k: int = 3, id_col: str = "doc_id",
-                 id_out: str = "doc_id", sh_out: str = "shingles"):
+                 id_out: str = "doc_id", sh_out: str = "shingles",
+                 bits: int = 32):
         self.mh = MinHasher(shingle_k=shingle_k)
+        self.k = shingle_k
+        self.bits = bits  # 32 = crc32 (minhash family), 64 = blake2b (exact)
         self.id_col, self.id_out, self.sh_out = id_col, id_out, sh_out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # packed uint64 bytes, not list<int64>: Acero hash joins reject list
         # payload columns; np.frombuffer unpacks zero-copy on the verify side
-        sh = [self.mh.shingles(t or "").tobytes()
-              for t in batch["text"].to_pylist()]
+        fn = self.mh.shingles if self.bits == 32 else \
+            (lambda t: shingles64(t, self.k))
+        sh = [fn(t or "").tobytes() for t in batch["text"].to_pylist()]
         return pa.table({self.id_out: pc.cast(batch[self.id_col], pa.int64()),
                          self.sh_out: pa.array(sh, pa.binary())})
 
@@ -299,8 +328,81 @@ def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
                                 join_partitions=join_partitions)
 
 
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+class PrefixExplode:
+    """Emit each doc's PREFIX shingle hashes as (sh_key, doc_id) index rows.
+
+    Prefix filtering (PPJoin family, Bayardo et al. WWW'07 / Chaudhuri et
+    al. ICDE'06): under ANY fixed total order on shingles — here the 64-bit
+    hash value — two sets with Jaccard ≥ t must share an element within each
+    set's first ``|d| - ceil(t*|d|) + 1`` elements. Indexing only prefixes
+    keeps the exploded index at ~(1-t) of total shingle volume while keeping
+    candidate generation EXACT (a superset of all true pairs). Ordering by
+    global shingle frequency instead of hash value would shrink hot buckets
+    further (rare shingles first); hash order needs no frequency pass and is
+    what we ship — the bucket cap logs any loss."""
+
+    def __init__(self, threshold: float, shingle_k: int = 3,
+                 id_col: str = "doc_id"):
+        self.t = threshold
+        self.k = shingle_k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        keys, ids = [], []
+        for did, text in zip(
+                pc.cast(batch[self.id_col], pa.int64()).to_pylist(),
+                batch["text"].to_pylist()):
+            h = shingles64(text or "", self.k)
+            if len(h) == 0:
+                continue  # shingle-less docs join nothing (oracle: J is 0/0)
+            p = len(h) - math.ceil(self.t * len(h)) + 1
+            keys.append(h[:p])
+            ids.append(np.full(p, did, dtype=np.int64))
+        if not keys:
+            return pa.table({"sh_key": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], pa.int64())})
+        return pa.table({
+            "sh_key": pa.array(np.concatenate(keys).view(np.int64)),
+            self.id_col: pa.array(np.concatenate(ids)),
+        })
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.7, shingle_k: int = 3,
+                        id_col: str = "doc_id", max_bucket: int = 1024,
+                        join_partitions: int = 8):
+    """EXACT word-n-gram Jaccard similarity join → all pairs with J ≥ t.
+
+    Same shuffle discipline as minhash_dedup_pairs but with a deterministic
+    guarantee instead of probabilistic recall: candidates come from an
+    inverted index over prefix shingles (see PrefixExplode — any true pair
+    provably shares a prefix bucket), singleton buckets are dropped by a
+    C-speed tree count, pair expansion is capped per bucket (skew guard,
+    drops logged — the one place exactness can be traded, loudly), and the
+    final exact set-Jaccard verification re-tokenizes candidate docs only.
+    Only prefix index rows (~(1-t) × shingle count) ever shuffle."""
+    pref = ds.map_batches(PrefixExplode(threshold, shingle_k, id_col),
+                          batch_format="pyarrow", batch_size=1024)
+    hot, hot_rows = multi_member_buckets(pref, "sh_key", join_partitions)
+    pairs = pairs_from_buckets(
+        hot, "sh_key",
+        lambda g: candidate_pairs_from_bucket(g, id_col, max_bucket),
+        ["id_a", "id_b"], {}, hot_rows,
+    )
+    return verify_pairs_jaccard(ds, pairs, threshold=threshold,
+                                shingle_k=shingle_k, id_col=id_col,
+                                join_partitions=join_partitions, bits=64)
+
+
 def verify_pairs_jaccard(ds, pairs, threshold: float = 0.7, shingle_k: int = 3,
-                         id_col: str = "doc_id", join_partitions: int = 8):
+                         id_col: str = "doc_id", join_partitions: int = 8,
+                         bits: int = 32):
     """Exact shingle-set Jaccard verification of candidate (id_a, id_b)
     pairs against the corpus ``ds`` — emits (id_a, id_b, jaccard ≥ threshold).
 
@@ -325,7 +427,7 @@ def verify_pairs_jaccard(ds, pairs, threshold: float = 0.7, shingle_k: int = 3,
         lambda t: t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()),
                                     value_set=ray.get(ids_ref))),
         batch_format="pyarrow",
-    ).map_batches(Shingler(shingle_k, id_col, "sid", "sh"),
+    ).map_batches(Shingler(shingle_k, id_col, "sid", "sh", bits=bits),
                   batch_format="pyarrow", batch_size=1024)
 
     if len(cand_ids) <= 2_000_000:

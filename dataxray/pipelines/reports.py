@@ -755,6 +755,17 @@ def embedding_dup_ids(sf_dir: str):
     )
 
 
+def ngram_jaccard_dups(sf_dir: str):
+    """Exact word-trigram Jaccard similarity join (prefix-filter inverted
+    index, functions/dedup.py ngram_jaccard_pairs) — unlike minhash_dedup
+    this is deterministic, so it gets a full DuckDB list-ops oracle."""
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.7).select_columns(
+        ["id_a", "id_b"])
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible ops (driver records rows-only checks)
 # ---------------------------------------------------------------------------

@@ -81,6 +81,44 @@ def test_minhash_finds_near_duplicates():
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
 
 
+def test_ngram_jaccard_exact_pairs_vs_bruteforce():
+    """Prefix-filter candidate generation is exact: the distributed join's
+    pair set must equal the all-pairs brute-force set-Jaccard over the same
+    shingle sets, at two thresholds (one strict, one loose)."""
+    import itertools
+
+    from dataxray.functions.dedup import ngram_jaccard_pairs, shingles64
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    texts = {
+        1: base,
+        2: base.replace("lazy", "sleepy", 1),       # near dup of 1
+        3: "completely different words entirely unrelated content here " * 8,
+        4: base,                                    # exact dup of 1
+        5: base[: len(base) // 2],                  # half-overlap with 1
+        6: "",                                      # shingle-less
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in texts.items()])
+
+    def brute(th):
+        out = set()
+        sh = {i: set(shingles64(t).tolist()) for i, t in texts.items()}
+        for a, b in itertools.combinations(sorted(texts), 2):
+            if not sh[a] or not sh[b]:
+                continue
+            j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            if j >= th:
+                out.add((a, b))
+        return out
+
+    for th in (0.7, 0.3):
+        pairs = ngram_jaccard_pairs(ds, threshold=th).take_all()
+        got = {(p["id_a"], p["id_b"]) for p in pairs}
+        assert got == brute(th), th
+    assert (1, 4) in brute(0.7)  # sanity: the fixture exercises exact dups
+
+
 def test_simhash_near_dup():
     from dataxray.functions.dedup import SimHasher, hamming64, simhash_pairs
 
