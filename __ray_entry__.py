@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_bloom": R.anti_join_bloom,
         "union_all_keys": R.union_all_keys,
         "global_topk_orders": R.global_topk_orders,
+        "asof_prev_event": R.asof_prev_event,
         # --- training-data ops (SQL-checkable) ---
         "dedup_exact_groups": R.dedup_exact_groups,
         "token_stats": R.token_stats,
@@ -290,6 +291,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.3"
+        ),
+        "asof_prev_event": (
+            "SELECT a.event_id, b.event_id AS prev_event_id, "
+            "date_diff('microsecond', b.ts, a.ts) AS gap_us "
+            "FROM events a ASOF LEFT JOIN events b "
+            "ON a.user_id = b.user_id AND b.ts < a.ts"
         ),
         # word-trigram Jaccard with the same tokenization (whitespace split,
         # drop empties) and k<3 fallback (whole text as one shingle) as

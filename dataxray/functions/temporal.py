@@ -1,0 +1,101 @@
+"""Temporal joins the Dataset API lacks: distributed as-of join.
+
+The reference engine has no join surface at all (DataX delegates lookups to
+the destination database); an incremental-ingest engine needs the temporal
+variants natively — "latest dimension row at-or-before this event",
+"previous event by this user" — because they are the joins a CDC change log
+actually runs. Composition (driver brief, custom-operator ladder (a)):
+hash-bucket both sides on the key, ONE co-partitioning shuffle
+(groupby(bucket) over the tagged union), then a C-speed
+``pandas.merge_asof(by=key)`` per bucket. No per-key Python, no broadcast,
+no driver materialization; bucket count is the only knob and is independent
+of key cardinality.
+
+Partitioning assumption: a bucket's rows (both sides) fit one task — at
+10^10 rows raise ``num_buckets`` so events_per_bucket × row_width stays in
+worker heap; skew lives on the KEY, and keys are whole units per bucket, so
+a single hot key (one user's entire stream) is the floor — same bound as
+any per-key stateful operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SIDE, _BUCKET, _KEY = "_asof_side", "_asof_bucket", "_asof_key"
+
+
+def _knuth_bucket(keys: pa.ChunkedArray, num_buckets: int) -> pa.Array:
+    """Multiplicative hash → bucket; consecutive int keys would otherwise
+    land consecutive buckets (fine) but hot-key *ranges* would clump."""
+    k = pc.cast(keys, pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+
+def asof_join(left, right, *, on_left: str, on_right: str, by_left: str,
+              by_right: str, right_cols: list[str], num_buckets: int = 32,
+              direction: str = "backward", allow_exact_matches: bool = True,
+              tolerance=None):
+    """For each left row: the single right row with the same key and the
+    greatest ``on_right`` ≤ (or <) ``on_left`` — left outer semantics
+    (unmatched left rows keep nulls in ``right_cols``). ``direction``
+    "forward"/"nearest" and ``tolerance`` (a pandas Timedelta bound) pass
+    straight through to ``merge_asof``.
+
+    Determinism: callers must ensure ``right`` has at most one row per
+    (key, on) — with ties, merge_asof keeps the positionally-last row after
+    the sort, which block order could change run-to-run. Dedupe upstream
+    (e.g. max-id per (key, ts)) for reproducible output.
+    """
+    import pandas as pd
+
+    left_schema, right_schema = left.schema(), right.schema()
+    left_cols = [n for n in left_schema.names]
+    dup = set(left_cols) & set(right_cols)
+    if dup:
+        raise ValueError(f"overlapping output columns: {sorted(dup)}")
+    rtypes = dict(zip(right_schema.names, right_schema.types))
+    ltypes = dict(zip(left_schema.names, left_schema.types))
+    out_fields = [(c, ltypes[c]) for c in left_cols] + \
+                 [(c, rtypes[c]) for c in right_cols]
+
+    def tag(side: int, key_col: str, ts_col: str, payload: list[str],
+            types: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {
+                _BUCKET: _knuth_bucket(t[key_col], num_buckets),
+                _SIDE: pa.nulls(n, pa.int8()).fill_null(side),
+                _KEY: pc.cast(t[key_col], pa.int64()),
+                "_asof_ts": t[ts_col],
+            }
+            for c, typ in out_fields:
+                cols[c] = t[c] if c in payload else pa.nulls(n, typ)
+            return pa.table(cols)
+        return fn
+
+    tagged = left.map_batches(
+        tag(0, by_left, on_left, left_cols, ltypes), batch_format="pyarrow"
+    ).union(right.map_batches(
+        tag(1, by_right, on_right, right_cols, rtypes), batch_format="pyarrow"))
+
+    def merge(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        l = df[df[_SIDE] == 0].sort_values("_asof_ts", kind="stable")
+        r = df[df[_SIDE] == 1].sort_values("_asof_ts", kind="stable")
+        lt = l[[_KEY, "_asof_ts", *left_cols]]
+        rt = r[[_KEY, "_asof_ts", *right_cols]]
+        merged = pd.merge_asof(
+            lt, rt, on="_asof_ts", by=_KEY, direction=direction,
+            allow_exact_matches=allow_exact_matches, tolerance=tolerance,
+            suffixes=("", "_ignored"))
+        out = pa.Table.from_pandas(merged[[c for c, _ in out_fields]],
+                                   preserve_index=False)
+        # empty/unmatched right side surfaces as float NaN columns in pandas
+        # — cast back to the declared schema so blocks stay union-compatible
+        return out.cast(pa.schema(out_fields))
+
+    return tagged.groupby(_BUCKET).map_groups(merge, batch_format="pyarrow")

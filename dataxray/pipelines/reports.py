@@ -755,6 +755,31 @@ def embedding_dup_ids(sf_dir: str):
     )
 
 
+def asof_prev_event(sf_dir: str):
+    """Self as-of join: each event → the same user's previous event and the
+    gap in microseconds (functions/temporal.py asof_join — one co-partition
+    shuffle, C-speed merge_asof per bucket). DuckDB oracle: ASOF LEFT JOIN
+    with a strict inequality."""
+    from ..functions.temporal import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    prev = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda t: pa.table({"prev_user": t["user_id"], "prev_ts": t["ts"],
+                            "prev_event_id": t["event_id"]}),
+        batch_format="pyarrow")
+    out = asof_join(ev, prev, on_left="ts", on_right="prev_ts",
+                    by_left="user_id", by_right="prev_user",
+                    right_cols=["prev_event_id", "prev_ts"],
+                    allow_exact_matches=False)
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "prev_event_id": t["prev_event_id"],
+            "gap_us": pc.cast(pc.subtract(t["ts"], t["prev_ts"]), pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
 def ngram_jaccard_dups(sf_dir: str):
     """Exact word-trigram Jaccard similarity join (prefix-filter inverted
     index, functions/dedup.py ngram_jaccard_pairs) — unlike minhash_dedup
