@@ -19,8 +19,10 @@ Engine.java:122-186 / JobContainer.start, SURVEY.md §3.1):
 
 Readers: parquetreader, csvreader (txtfilereader analog), streamreader
 (synthetic generator analog, StreamReader.java:99-171), walreader (the CDC
-event source). Writers: parquetwriter / csvwriter (hdfswriter/txtfilewriter
-analogs; writeMode truncate|append|nonConflict, TxtFileWriter.java:97-197),
+event source). Writers: parquetwriter / csvwriter (txtfilewriter analog
+with fieldDelimiter + gzip/bzip2/zstd compress; writeMode
+truncate|append|nonConflict, TxtFileWriter.java:97-197), orcwriter +
+hdfswriter (fileType TEXT/ORC/PARQUET dispatch, HdfsWriter.java:66-92),
 streamwriter (count/print smoke sink, streamwriter module), lakewriter (the
 exactly-once CDC lake sink).
 
@@ -65,7 +67,17 @@ def _expand_paths(param: dict) -> list[str]:
     paths = param["path"] if isinstance(param["path"], list) else [param["path"]]
     files: list[str] = []
     for p in paths:
-        files.extend(sorted(globmod.glob(p)) if any(c in p for c in "*?[") else [p])
+        if any(c in p for c in "*?["):
+            files.extend(sorted(globmod.glob(p)))
+        elif os.path.isdir(p):
+            # directory = all its regular files (hdfsreader dir semantics,
+            # HdfsReader.java:176-226) — lets a *writer's* output dir feed
+            # straight back into the matching reader
+            files.extend(sorted(
+                os.path.join(p, f) for f in os.listdir(p)
+                if os.path.isfile(os.path.join(p, f))))
+        else:
+            files.append(p)
     return files
 
 
@@ -275,11 +287,90 @@ def _writer_parquet(ds, param: dict) -> dict:
     return {"sink": path}
 
 
+class _OrcDatasink:
+    """Per-block ORC files via Ray's file datasink (task-deterministic names,
+    retry-safe) — hdfswriter fileType=ORC parity (HdfsHelper.java:369). Ray
+    Data has parquet/csv/json sinks but no ORC; pyarrow.orc fills it in."""
+
+    def __new__(cls, path: str):
+        from ray.data.datasource import BlockBasedFileDatasink
+
+        class Sink(BlockBasedFileDatasink):
+            def __init__(self, p):
+                super().__init__(p, file_format="orc")
+
+            def write_block_to_file(self, block, file):
+                import pyarrow.orc as orc
+
+                orc.write_table(block.to_arrow(), file)
+
+        return Sink(path)
+
+
+class _TextDatasink:
+    """Delimited-text files with optional whole-file compression —
+    txtfilewriter fieldDelimiter/compress parity (TxtFileWriter.java:214-231,
+    HdfsHelper.java:289 TEXT). gzip/bz2/zstd ride pyarrow's
+    CompressedOutputStream; the csv payload itself is Arrow-written."""
+
+    def __new__(cls, path: str, delimiter: str = ",", compress: str | None = None):
+        from ray.data.datasource import BlockBasedFileDatasink
+
+        codec = {None: None, "": None, "gzip": "gzip", "bzip2": "bz2",
+                 "zstd": "zstd"}
+        if compress not in codec:
+            raise ValueError(f"unsupported compression {compress!r} for text "
+                             "write (have gzip/bzip2/zstd)")
+        suffix = {"gzip": "csv.gz", "bz2": "csv.bz2", "zstd": "csv.zst",
+                  None: "csv"}[codec[compress]]
+
+        class Sink(BlockBasedFileDatasink):
+            def __init__(self, p):
+                super().__init__(p, file_format=suffix)
+
+            def write_block_to_file(self, block, file):
+                from pyarrow import csv as _csv
+
+                # pyarrow's filesystem layer compresses by extension
+                # (open_output_stream compression='detect'), so the payload
+                # here is plain CSV — wrapping a CompressedOutputStream on
+                # top would double-compress
+                _csv.write_csv(block.to_arrow(), file,
+                               _csv.WriteOptions(delimiter=delimiter))
+
+        return Sink(path)
+
+
 def _writer_csv(ds, param: dict) -> dict:
     path = param["path"]
     _prep_dir(path, param.get("writeMode", "append"))
-    ds.write_csv(path)
+    delim = param.get("fieldDelimiter", ",")
+    compress = param.get("compress")
+    if delim == "," and not compress:
+        ds.write_csv(path)
+    else:
+        ds.write_datasink(_TextDatasink(path, delim, compress))
     return {"sink": path}
+
+
+def _writer_orc(ds, param: dict) -> dict:
+    path = param["path"]
+    _prep_dir(path, param.get("writeMode", "append"))
+    ds.write_datasink(_OrcDatasink(path))
+    return {"sink": path}
+
+
+def _writer_hdfs(ds, param: dict) -> dict:
+    """hdfswriter surface: fileType TEXT/ORC/PARQUET dispatch
+    (HdfsWriter.java:66-92). Paths may be local or fsspec URIs."""
+    ftype = str(param.get("fileType", "parquet")).lower()
+    if ftype in ("orc",):
+        return _writer_orc(ds, param)
+    if ftype in ("text", "csv"):
+        return _writer_csv(ds, param)
+    if ftype in ("parquet", "par"):
+        return _writer_parquet(ds, param)
+    raise ValueError(f"unsupported hdfswriter fileType {param.get('fileType')!r}")
 
 
 def _writer_stream(ds, param: dict) -> dict:
@@ -330,6 +421,8 @@ WRITERS = {
     "parquetwriter": _writer_parquet,
     "txtfilewriter": _writer_csv,
     "csvwriter": _writer_csv,
+    "orcwriter": _writer_orc,
+    "hdfswriter": _writer_hdfs,
     "streamwriter": _writer_stream,
     "lakewriter": _writer_lake,
     "rdbmswriter": _writer_rdbms,

@@ -259,3 +259,60 @@ def test_reader_level_casts(tmp_path):
     assert t.schema.field("k").type == pa.int64()
     assert str(t.schema.field("when").type).startswith("timestamp")
     assert t.num_rows == 2 and rep["content"][0]["totalErrorRecords"] == 1
+
+
+def test_orc_writer_roundtrip(tmp_path):
+    """hdfswriter fileType=ORC parity: ORC write via the custom datasink,
+    read back with orcreader — data survives the roundtrip."""
+    import glob
+
+    import pyarrow.orc as orc
+
+    out = str(tmp_path / "orcout")
+    job = {"job": {"content": [{
+        "reader": {"name": "parquetreader", "parameter": {
+            "path": f"{SF}/nation.parquet", "column": ["n_nationkey", "n_name"]}},
+        "writer": {"name": "hdfswriter", "parameter": {
+            "path": out, "fileType": "ORC", "writeMode": "truncate"}},
+    }]}}
+    run_job(job)
+    files = glob.glob(out + "/*.orc")
+    assert files
+    import pyarrow as pa
+    t = pa.concat_tables([orc.read_table(f) for f in files])
+    assert t.num_rows == 25 and set(t.column_names) == {"n_nationkey", "n_name"}
+
+    job2 = {"job": {"content": [{
+        "reader": {"name": "orcreader", "parameter": {"path": out}},
+        "writer": {"name": "streamwriter", "parameter": {}},
+    }]}}
+    assert run_job(job2)["content"][0]["rows"] == 25
+
+
+def test_text_writer_delimiter_and_compress(tmp_path):
+    """txtfilewriter fieldDelimiter + compress surface; gzip files read back
+    through csvreader's codec path."""
+    import glob
+    import gzip
+
+    out = str(tmp_path / "txtout")
+    job = {"job": {"content": [{
+        "reader": {"name": "parquetreader", "parameter": {
+            "path": f"{SF}/region.parquet", "column": ["r_regionkey", "r_name"]}},
+        "writer": {"name": "txtfilewriter", "parameter": {
+            "path": out, "fieldDelimiter": "\t", "compress": "gzip",
+            "writeMode": "truncate"}},
+    }]}}
+    run_job(job)
+    files = glob.glob(out + "/*.csv.gz")
+    assert files
+    body = "".join(gzip.open(f, "rt").read() for f in files)
+    assert "\t" in body and "AFRICA" in body
+
+    with pytest.raises(ValueError, match="unsupported compression"):
+        run_job({"job": {"content": [{
+            "reader": {"name": "parquetreader", "parameter": {
+                "path": f"{SF}/region.parquet"}},
+            "writer": {"name": "txtfilewriter", "parameter": {
+                "path": str(tmp_path / "x"), "compress": "lzo"}},
+        }]}})
