@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_all_keys": R.union_all_keys,
         "global_topk_orders": R.global_topk_orders,
         "asof_prev_event": R.asof_prev_event,
+        "interval_join_windows": R.interval_join_windows,
         # --- training-data ops (SQL-checkable) ---
         "dedup_exact_groups": R.dedup_exact_groups,
         "token_stats": R.token_stats,
@@ -297,6 +298,13 @@ def oracle_sql() -> dict[str, str]:
             "date_diff('microsecond', b.ts, a.ts) AS gap_us "
             "FROM events a ASOF LEFT JOIN events b "
             "ON a.user_id = b.user_id AND b.ts < a.ts"
+        ),
+        "interval_join_windows": (
+            "SELECT a.event_id, b.event_id AS window_id "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND b.value > 100 AND a.ts >= b.ts "
+            "AND a.ts < b.ts + INTERVAL 60 MINUTE "
+            "AND a.event_id <> b.event_id"
         ),
         # word-trigram Jaccard with the same tokenization (whitespace split,
         # drop empties) and k<3 fallback (whole text as one shingle) as

@@ -1,4 +1,4 @@
-"""Temporal joins the Dataset API lacks: distributed as-of join.
+"""Temporal joins the Dataset API lacks: distributed as-of and range joins.
 
 The reference engine has no join surface at all (DataX delegates lookups to
 the destination database); an incremental-ingest engine needs the temporal
@@ -96,6 +96,72 @@ def asof_join(left, right, *, on_left: str, on_right: str, by_left: str,
                                    preserve_index=False)
         # empty/unmatched right side surfaces as float NaN columns in pandas
         # — cast back to the declared schema so blocks stay union-compatible
+        return out.cast(pa.schema(out_fields))
+
+    return tagged.groupby(_BUCKET).map_groups(merge, batch_format="pyarrow")
+
+
+def interval_join(points, intervals, *, on: str, start_col: str, end_col: str,
+                  by_left: str, by_right: str, point_cols: list[str],
+                  interval_cols: list[str], num_buckets: int = 32):
+    """Keyed range join: every (point, interval) pair with the same key and
+    ``start ≤ point_ts < end`` — intervals may overlap, so a point can match
+    many intervals (inner semantics: unmatched points drop out).
+
+    Same co-partitioning shuffle as asof_join; per bucket the match is a
+    C-speed pandas key-merge followed by one containment mask. The merge
+    materializes Σ_k |P_k|·|I_k| candidate rows per bucket BEFORE masking —
+    fine when intervals per key are bounded (windows, maintenance slots,
+    promos); for NON-overlapping intervals use asof_join(direction=
+    "backward") + an end-bound filter instead, which is linear. A time-
+    bucketed variant (bucket width ≥ max interval length, intervals
+    replicated to overlapped buckets) is the unkeyed/hot-key upgrade path.
+    """
+    import pandas as pd  # noqa: F401  (to_pandas requires it at runtime)
+
+    p_schema, i_schema = points.schema(), intervals.schema()
+    dup = set(point_cols) & set(interval_cols)
+    if dup:
+        raise ValueError(f"overlapping output columns: {sorted(dup)}")
+    ptypes = dict(zip(p_schema.names, p_schema.types))
+    ityp = dict(zip(i_schema.names, i_schema.types))
+    out_fields = [(c, ptypes[c]) for c in point_cols] + \
+                 [(c, ityp[c]) for c in interval_cols]
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {_BUCKET: _knuth_bucket(t[by_left], num_buckets),
+                _SIDE: pa.nulls(n, pa.int8()).fill_null(0),
+                _KEY: pc.cast(t[by_left], pa.int64()),
+                "_ivs": pa.nulls(n, ityp[start_col]),
+                "_ive": pa.nulls(n, ityp[end_col]),
+                "_pts": t[on]}
+        for c, typ in out_fields:
+            cols[c] = t[c] if c in point_cols else pa.nulls(n, typ)
+        return pa.table(cols)
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {_BUCKET: _knuth_bucket(t[by_right], num_buckets),
+                _SIDE: pa.nulls(n, pa.int8()).fill_null(1),
+                _KEY: pc.cast(t[by_right], pa.int64()),
+                "_ivs": t[start_col], "_ive": t[end_col],
+                "_pts": pa.nulls(n, ptypes[on])}
+        for c, typ in out_fields:
+            cols[c] = t[c] if c in interval_cols else pa.nulls(n, typ)
+        return pa.table(cols)
+
+    tagged = points.map_batches(tag_points, batch_format="pyarrow").union(
+        intervals.map_batches(tag_intervals, batch_format="pyarrow"))
+
+    def merge(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        p = df[df[_SIDE] == 0][[_KEY, "_pts", *point_cols]]
+        iv = df[df[_SIDE] == 1][[_KEY, "_ivs", "_ive", *interval_cols]]
+        m = p.merge(iv, on=_KEY)
+        m = m[(m["_pts"] >= m["_ivs"]) & (m["_pts"] < m["_ive"])]
+        out = pa.Table.from_pandas(m[[c for c, _ in out_fields]],
+                                   preserve_index=False)
         return out.cast(pa.schema(out_fields))
 
     return tagged.groupby(_BUCKET).map_groups(merge, batch_format="pyarrow")

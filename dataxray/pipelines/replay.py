@@ -47,7 +47,14 @@ class ReplayConfig:
     auto_salt: bool = False  # salt only detected heavy-hitter urls
     hot_frac: float = 0.01  # per-batch hot threshold for auto_salt
     batch_size: int | None = 32_768
-    exchange: str = "sort"  # "sort" = Ray groupby shuffle; "direct" = raw-task hash exchange (stages/exchange.py)
+    # "direct" (default) = raw-task hash exchange (stages/exchange.py):
+    # measured faster than the sort shuffle at every parallelism level AND
+    # ~5x less sensitive to co-tenant noise (BASELINE.md round-3 A/B — best
+    # 11.1s vs 27.0s at 8 CPUs, 12.4s vs 12.8s at 32); the merge key is a
+    # precomputed int partition id, so the sort path's boundary sampling and
+    # per-block sorts buy nothing. "sort" = Ray groupby shuffle (keeps the
+    # generic path exercised; the salted pre-merge stage always uses it).
+    exchange: str = "direct"
     sink_mode: str = "rewrite"  # "delta": append per-epoch LWW winners, resolve on read
     compact_threshold: int = 8  # delta files per partition before auto-compaction
     error_limit: ErrorLimit = ErrorLimit()
@@ -348,9 +355,16 @@ def replay(
                  "n_events": pa.array([m["n_events"]], pa.int64())}
             )
 
-        meta_rows = ds.groupby(PART_COL).map_groups(
+        grouped = ds.groupby(PART_COL).map_groups(
             merge_and_stage, batch_format="pyarrow"
-        ).take_all()
+        )
+        meta_rows = grouped.take_all()
+        if os.environ.get("DATAXRAY_PRINT_STATS"):
+            # phase attribution for scaling analysis (BASELINE.md): Ray Data's
+            # per-operator wall/cpu breakdown of the executed plan
+            import sys as _sys
+
+            print(grouped.stats(), file=_sys.stderr)
 
     if watchdog is not None:
         watchdog.stop()

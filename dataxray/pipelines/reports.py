@@ -780,6 +780,36 @@ def asof_prev_event(sf_dir: str):
         batch_format="pyarrow")
 
 
+def interval_join_windows(sf_dir: str):
+    """Keyed range join (functions/temporal.py interval_join): every event
+    falling inside a 60-minute window opened by a same-user high-value
+    event (value > 100), opener excluded. Windows overlap, so one event can
+    match several — the case asof can't express. Oracled as a plain DuckDB
+    inequality join."""
+    from ..functions.temporal import interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t["value"], 100.0))
+        return pa.table({
+            "window_id": f["event_id"], "w_user": f["user_id"],
+            "w_start": f["ts"],
+            "w_end": pc.add(f["ts"], pa.scalar(3_600_000_000,
+                                               pa.duration("us"))),
+        })
+
+    win = _read(sf_dir, "events",
+                ["event_id", "user_id", "ts", "value"]).map_batches(
+        windows, batch_format="pyarrow")
+    out = interval_join(ev, win, on="ts", start_col="w_start",
+                        end_col="w_end", by_left="user_id", by_right="w_user",
+                        point_cols=["event_id"], interval_cols=["window_id"])
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t["event_id"], t["window_id"])),
+        batch_format="pyarrow")
+
+
 def ngram_jaccard_dups(sf_dir: str):
     """Exact word-trigram Jaccard similarity join (prefix-filter inverted
     index, functions/dedup.py ngram_jaccard_pairs) — unlike minhash_dedup

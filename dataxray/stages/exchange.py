@@ -87,6 +87,10 @@ def direct_exchange(ds, num_partitions: int, merge_fn, merge_kwargs: dict,
         for p, r in enumerate(split_remote.remote(block_ref)):
             per_part[p].append(r)
 
+    import os
+    import time as _time
+
+    t0 = _time.perf_counter()
     if pipelined:
         keep = []  # hold bundle + block refs so the store can't release them
         for bundle in ds.iter_internal_ref_bundles():
@@ -97,7 +101,18 @@ def direct_exchange(ds, num_partitions: int, merge_fn, merge_kwargs: dict,
     else:
         for ref in ds.to_arrow_refs():
             _submit(ref)
+    t1 = _time.perf_counter()
     metas = ray.get(
         [merge_remote.remote(p, merge_kwargs, *per_part[p]) for p in range(num_partitions)]
     )
+    if os.environ.get("DATAXRAY_PRINT_STATS"):
+        # map+split drain vs merge tail, for BASELINE.md phase attribution
+        import sys as _sys
+
+        print(f"[exchange] map+split drain {t1 - t0:.2f}s, merge tail "
+              f"{_time.perf_counter() - t1:.2f}s", file=_sys.stderr)
+        try:
+            print(ds.stats(), file=_sys.stderr)
+        except Exception:
+            pass
     return [m for m in metas if m is not None]

@@ -173,17 +173,20 @@ def test_dirty_rows_carry_reasons(tmp_path):
 
 
 def test_direct_exchange_matches_oracle(data_dir, oracle_df, tmp_path):
-    """The raw-task hash exchange must produce identical lake state."""
-    lake = str(tmp_path / "lake_direct")
-    rep = replay(os.path.join(data_dir, "events"), lake,
-                 pages_path=os.path.join(data_dir, "pages.parquet"),
-                 cfg=ReplayConfig(num_partitions=8, exchange="direct"))
-    assert rep.partitions_committed == 8
-    assert_matches_oracle(lake, oracle_df)
-    # incremental no-op on re-delivery through the direct path too
-    rep2 = replay(os.path.join(data_dir, "events"), lake,
-                  cfg=ReplayConfig(num_partitions=8, exchange="direct"))
-    assert rep2.partitions_committed == 0
+    """Both exchange implementations must produce identical lake state
+    (direct is the default since round 3; this keeps the sort shuffle path
+    regression-covered too)."""
+    for exchange in ("direct", "sort"):
+        lake = str(tmp_path / f"lake_{exchange}")
+        rep = replay(os.path.join(data_dir, "events"), lake,
+                     pages_path=os.path.join(data_dir, "pages.parquet"),
+                     cfg=ReplayConfig(num_partitions=8, exchange=exchange))
+        assert rep.partitions_committed == 8
+        assert_matches_oracle(lake, oracle_df)
+        # incremental no-op on re-delivery through either path too
+        rep2 = replay(os.path.join(data_dir, "events"), lake,
+                      cfg=ReplayConfig(num_partitions=8, exchange=exchange))
+        assert rep2.partitions_committed == 0
 
 
 def test_single_partition_direct_exchange(data_dir, oracle_df, tmp_path):

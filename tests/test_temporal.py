@@ -79,3 +79,31 @@ def test_asof_rejects_column_collision():
                   ray.data.from_arrow(pa.Table.from_pandas(right)),
                   on_left="lts", on_right="rts", by_left="k", by_right="rk",
                   right_cols=["lid"])
+
+
+def test_interval_join_matches_bruteforce():
+    """Keyed range join vs O(n*m) reference: overlapping windows, a point
+    matching several intervals, unmatched keys dropping out."""
+    left, right = _mk(seed=13, n_left=300, n_right=60, n_keys=7)
+    right = right.rename(columns={"rts": "rstart"})
+    right["rend"] = right["rstart"] + pd.to_timedelta(
+        np.random.default_rng(3).integers(1, 4 * 10**5, len(right)), unit="s")
+
+    from dataxray.functions.temporal import interval_join
+
+    out = interval_join(
+        ray.data.from_arrow(pa.Table.from_pandas(left)),
+        ray.data.from_arrow(pa.Table.from_pandas(right)),
+        on="lts", start_col="rstart", end_col="rend",
+        by_left="k", by_right="rk", point_cols=["lid"],
+        interval_cols=["rid"], num_buckets=4)
+    got = sorted(map(tuple, out.to_pandas()[["lid", "rid"]].values.tolist()))
+
+    want = []
+    for _, lr in left.iterrows():
+        for _, rr in right.iterrows():
+            if lr.k == rr.rk and rr.rstart <= lr.lts < rr.rend:
+                want.append((lr.lid, rr.rid))
+    assert got == sorted(want) and len(want) > 0
+    assert any(sum(1 for a, _ in want if a == lid) > 1
+               for lid in {a for a, _ in want})  # some point hit 2+ windows
