@@ -27,6 +27,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lww_replay": R.cdc_lww_replay,
         "cdc_lww_salted": R.cdc_lww_salted,
         "cdc_incremental": R.cdc_incremental,
+        "cdc_time_travel": R.cdc_time_travel,
+        "cdc_change_feed": R.cdc_change_feed,
         "lake_predicate_scan": R.lake_predicate_scan,
         # --- dx_* transform surface ---
         "dx_substr": R.dx_substr_part,
@@ -90,6 +92,53 @@ SELECT url, txn_id, warc_ts, text, lang
 FROM ranked WHERE rn = 1 AND event_type <> 'error'
 """
 
+_TT_SQL = """
+WITH ev AS (
+  SELECT 'https://user' || CAST(user_id AS VARCHAR) AS url,
+         event_id AS txn_id, ts AS warc_ts, props AS text,
+         event_type AS lang, event_type
+  FROM events
+), thr AS (SELECT max(event_id) // 2 AS t FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY txn_id DESC) AS rn
+  FROM ev WHERE txn_id <= (SELECT t FROM thr)
+)
+SELECT url, txn_id, warc_ts, text, lang
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+# change feed = diff of the two LWW snapshots (epoch-1 vs full); a key is an
+# update exactly when its winning txn moved; deletes carry the OLD payload
+_CDF_SQL = """
+WITH ev AS (
+  SELECT 'https://user' || CAST(user_id AS VARCHAR) AS url,
+         event_id AS txn_id, ts AS warc_ts, props AS text,
+         event_type AS lang, event_type
+  FROM events
+), thr AS (SELECT max(event_id) // 2 AS t FROM events),
+old AS (
+  SELECT url, txn_id, warc_ts, text, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY txn_id DESC) AS rn
+    FROM ev WHERE txn_id <= (SELECT t FROM thr)
+  ) WHERE rn = 1 AND event_type <> 'error'
+), new AS (
+  SELECT url, txn_id, warc_ts, text, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY txn_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT coalesce(n.url, o.url) AS url,
+       CASE WHEN o.url IS NULL THEN 'insert'
+            WHEN n.url IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       CASE WHEN n.url IS NULL THEN o.txn_id ELSE n.txn_id END AS txn_id,
+       CASE WHEN n.url IS NULL THEN o.warc_ts ELSE n.warc_ts END AS warc_ts,
+       CASE WHEN n.url IS NULL THEN o.text ELSE n.text END AS text,
+       CASE WHEN n.url IS NULL THEN o.lang ELSE n.lang END AS lang
+FROM new n FULL OUTER JOIN old o ON n.url = o.url
+WHERE o.url IS NULL OR n.url IS NULL OR n.txn_id <> o.txn_id
+"""
+
 _N_TOKENS = (
     "CASE WHEN trim(text) = '' THEN 0 "
     "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
@@ -148,6 +197,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_replay": _CDC_SQL,
         "cdc_lww_salted": _CDC_SQL,
         "cdc_incremental": _CDC_SQL,
+        "cdc_time_travel": _TT_SQL,
+        "cdc_change_feed": _CDF_SQL,
         "lake_predicate_scan": (
             _CDC_SQL + " AND url >= 'https://user2' AND url < 'https://user7'"
         ),

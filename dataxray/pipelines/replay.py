@@ -56,6 +56,7 @@ class ReplayConfig:
     # generic path exercised; the salted pre-merge stage always uses it).
     exchange: str = "direct"
     sink_mode: str = "rewrite"  # "delta": append per-epoch LWW winners, resolve on read
+    history: bool = False  # retain every committed version (time travel / CDF)
     compact_threshold: int = 8  # delta files per partition before auto-compaction
     error_limit: ErrorLimit = ErrorLimit()
     dirty_dir: str | None = None
@@ -263,7 +264,8 @@ def replay(
         target = unify(schemas) if schemas else None
         if target is None:
             raise ValueError("nothing to replay: no events and no pages")
-        lake.init(cfg.num_partitions, target, pages_path=pages_path)
+        lake.init(cfg.num_partitions, target, pages_path=pages_path,
+                  history=cfg.history)
     else:
         target = unify([lake.event_schema()] + schemas) if schemas else None
         if target is None or not streams:

@@ -150,6 +150,79 @@ def cdc_incremental(sf_dir: str) -> pa.Table:
     return cdc_lww_replay(sf_dir, epochs=4)
 
 
+def _wal_two_epochs(sf_dir: str) -> tuple[str, str, int]:
+    """Split the WAL at thr = max(txn_id) // 2 into two epoch dirs (cached).
+    The threshold is an exact commit boundary for epoch 1, so a time-travel
+    read as of thr must equal an LWW replay of epoch 1 alone."""
+    wal = _events_as_wal(sf_dir)
+    out = _scratch(sf_dir, "wal2ep")
+    e1, e2 = os.path.join(out, "epoch1"), os.path.join(out, "epoch2")
+    done = os.path.join(out, "_done")
+    if os.path.exists(done):
+        return e1, e2, int(open(done).read())
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(e1)
+    os.makedirs(e2)
+    files = sorted(f for f in os.listdir(wal) if f.endswith(".parquet"))
+    thr = max(
+        pq.read_table(os.path.join(wal, f), columns=["txn_id"])["txn_id"]
+        .combine_chunks().to_numpy().max() for f in files
+    ) // 2
+    for f in files:
+        t = pq.read_table(os.path.join(wal, f))
+        lo = t.filter(pc.less_equal(t["txn_id"], thr))
+        hi = t.filter(pc.greater(t["txn_id"], thr))
+        if len(lo):
+            pq.write_table(lo, os.path.join(e1, f))
+        if len(hi):
+            pq.write_table(hi, os.path.join(e2, f))
+    with open(done, "w") as fh:
+        fh.write(str(int(thr)))
+    return e1, e2, int(thr)
+
+
+def _history_lake(sf_dir: str) -> tuple[str, int]:
+    """Two-epoch replay into a history=True lake (every committed manifest
+    version retained → time travel + change feed). Cached per sf_dir: the
+    lake is immutable once both epochs have committed."""
+    e1, e2, thr = _wal_two_epochs(sf_dir)
+    lake_dir = _scratch(sf_dir, "lake-hist")
+    done = os.path.join(lake_dir, "_qdone")
+    if not os.path.exists(done):
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        cfg = ReplayConfig(num_partitions=16, history=True)
+        replay(e1, lake_dir, cfg=cfg)
+        replay(e2, lake_dir, cfg=cfg)
+        open(done, "w").close()
+    return lake_dir, thr
+
+
+def cdc_time_travel(sf_dir: str) -> pa.Table:
+    """Snapshot-as-of read (time travel): replay the WAL in two epochs into
+    a history lake, then read the lake as of the epoch-1 txn ceiling — the
+    result must equal an LWW replay of only epoch-1 events (the oracle)."""
+    lake_dir, thr = _history_lake(sf_dir)
+    t = Lake(lake_dir).read_all(as_of_txn=thr)
+    return t.select(["url", "txn_id", "warc_ts", "text", "lang"]).sort_by("url")
+
+
+def cdc_change_feed(sf_dir: str) -> pa.Table:
+    """Distributed change feed (CDF) between the epoch-1 snapshot and the
+    current one: one partition-local snapshot-diff task per partition, no
+    shuffle (both snapshots hash on the same key). insert/update rows carry
+    the new payload, delete rows the last pre-delete payload."""
+    import ray
+
+    lake_dir, thr = _history_lake(sf_dir)
+    ds = Lake(lake_dir).changes(since_txn=thr)
+    parts = [t for t in ray.get(ds.to_arrow_refs()) if t is not None and len(t)]
+    t = pa.concat_tables(parts, promote_options="permissive")
+    t = t.append_column("change_type", t["_change_type"])
+    return t.select(
+        ["url", "change_type", "txn_id", "warc_ts", "text", "lang"]
+    ).sort_by("url")
+
+
 def lake_predicate_scan(sf_dir: str) -> pa.Table:
     """Delta-aware predicate pushdown (state/predicate.py): replay the WAL
     in two delta epochs (so the lake holds delta-bearing partitions), then

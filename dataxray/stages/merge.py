@@ -171,3 +171,54 @@ def merge_partition(
     merged = lww_reduce(pa.concat_tables(parts), key)
     merged = drop_tombstones(merged)
     return align_table(merged, state_schema(target_event_schema))
+
+
+CHANGE_COL = "_change_type"
+
+
+def diff_snapshots(old: pa.Table | None, new: pa.Table | None,
+                   key: str = "url") -> pa.Table:
+    """Change rows between two resolved snapshots of the same partition —
+    the change-feed kernel (CDF). ``_change_type`` ∈ {insert, update,
+    delete}; insert/update rows carry the NEW row's payload, delete rows the
+    OLD row's. A key counts as updated exactly when its LWW winner's lineage
+    (txn_id, seq) moved — payload equality is never compared (LWW semantics:
+    a re-won key IS a change even if the payload round-tripped).
+
+    Vectorized: two pc.index_in membership probes + lineage compares; no
+    per-row Python. Snapshots are resolved tables (tombstones already
+    dropped), so a key deleted in the window simply vanishes from ``new``.
+    """
+    def _tag(t: pa.Table, tag: str) -> pa.Table:
+        return t.append_column(
+            CHANGE_COL, pa.nulls(len(t), pa.string()).fill_null(tag))
+
+    base = new if new is not None else old
+    if base is None:
+        return pa.table({})
+    empty_schema = base.schema.append(pa.field(CHANGE_COL, pa.string()))
+    if old is None or len(old) == 0:
+        return _tag(new, "insert") if new is not None and len(new) \
+            else empty_schema.empty_table()
+    if new is None or len(new) == 0:
+        return _tag(old, "delete")
+
+    old_keys = old[key].combine_chunks()
+    new_keys = new[key].combine_chunks()
+    pos = pc.index_in(new_keys, value_set=old_keys)
+    inserts = _tag(new.filter(pc.is_null(pos)), "insert")
+    matched_new = new.filter(pc.is_valid(pos))
+    old_match = old.take(pos.drop_null())
+    moved = pc.or_(
+        pc.not_equal(matched_new["txn_id"].combine_chunks(),
+                     old_match["txn_id"].combine_chunks()),
+        pc.not_equal(matched_new["seq"].combine_chunks(),
+                     old_match["seq"].combine_chunks()),
+    )
+    updates = _tag(matched_new.filter(moved), "update")
+    gone = pc.is_null(pc.index_in(old_keys, value_set=new_keys))
+    deletes = _tag(old.filter(gone), "delete")
+    parts = [t for t in (inserts, updates, deletes) if len(t)]
+    if not parts:
+        return empty_schema.empty_table()
+    return pa.concat_tables(parts, promote_options="permissive")

@@ -68,7 +68,8 @@ class Lake:
         return self.fs.exists(self._p(META))
 
     def init(
-        self, num_partitions: int, event_schema: pa.Schema, pages_path: str | None = None
+        self, num_partitions: int, event_schema: pa.Schema,
+        pages_path: str | None = None, history: bool = False
     ) -> None:
         self.fs.makedirs(self._p(MANIFESTS))
         self.fs.put_json(
@@ -81,6 +82,11 @@ class Lake:
                 # manifest, replays keep folding the base pages back in (the
                 # per-partition watermark makes that a no-op where committed)
                 "bootstrap_pages": pages_path,
+                # history=True retains every committed manifest version (one
+                # immutable JSON object per commit — no append, object-store
+                # safe) and the data files it references until vacuum():
+                # snapshot reads as of any retained commit (time travel)
+                "history": history,
             },
         )
 
@@ -124,6 +130,48 @@ class Lake:
     def _manifest_path(self, p: int) -> str:
         return self._p(MANIFESTS, f"part-{p:05d}.json")
 
+    def history_enabled(self) -> bool:
+        return bool(self.meta().get("history"))
+
+    def _history_dir(self, p: int) -> str:
+        return self._p(MANIFESTS, "history", f"part-{p:05d}")
+
+    def versions(self, p: int) -> list[dict]:
+        """All retained committed manifest versions for a partition, oldest
+        first. With history off this is just the current manifest."""
+        hdir = self._history_dir(p)
+        cur = self.manifest(p)
+        if not self.fs.exists(hdir):
+            return [cur] if cur is not None else []
+        # trust only versions <= the committed current one: a crash between
+        # the history PUT and the current-manifest PUT (the commit point) can
+        # leave one newer orphan entry, which the redone commit overwrites
+        cur_v = cur.get("version", -1) if cur else -1
+        out = []
+        for name in sorted(self.fs.list_names(hdir)):
+            if name.startswith("v-") and name.endswith(".json"):
+                v = self.fs.read_json(os.path.join(hdir, name))
+                if v.get("version", 0) <= cur_v:
+                    out.append(v)
+        return out
+
+    def manifest_as_of(self, p: int, as_of_txn: int) -> dict | None:
+        """Latest retained version with txn_hi <= as_of_txn (time-travel
+        floor — snapshot granularity is the commit boundary, like any
+        versioned lake). None if the partition had no commit by then; raises
+        if the snapshot has been vacuumed away."""
+        vs = [v for v in self.versions(p) if v["txn_hi"] <= as_of_txn]
+        if vs:
+            return vs[-1]
+        if any(True for _ in self.versions(p)):  # partition exists, older gone
+            first = self.versions(p)[0]
+            if first["txn_hi"] > as_of_txn and first.get("version", 0) > 0:
+                raise ValueError(
+                    f"partition {p}: snapshot as of txn {as_of_txn} was "
+                    f"vacuumed (oldest retained commit is txn {first['txn_hi']})"
+                )
+        return None
+
     def manifest(self, p: int) -> dict | None:
         path = self._manifest_path(p)
         if not self.fs.exists(path):
@@ -160,16 +208,17 @@ class Lake:
             "num_bytes": table.nbytes,
         }
 
-    def partition_files(self, p: int) -> list[str]:
-        m = self.manifest(p)
+    def partition_files(self, p: int, as_of_txn: int | None = None) -> list[str]:
+        m = (self.manifest(p) if as_of_txn is None
+             else self.manifest_as_of(p, as_of_txn))
         if m is None:
             return []
         return [self._p(f) for f in m["files"]]
 
-    def read_state_raw(self, p: int) -> pa.Table | None:
+    def read_state_raw(self, p: int, as_of_txn: int | None = None) -> pa.Table | None:
         """Concat of base + delta files — may contain superseded rows and
         tombstones; LWW lineage (txn_id, seq) resolves them."""
-        files = self.partition_files(p)
+        files = self.partition_files(p, as_of_txn)
         if not files:
             return None
         return pa.concat_tables(
@@ -179,12 +228,14 @@ class Lake:
     # kept as the merge-path API: raw is correct input for an LWW merge
     read_state = read_state_raw
 
-    def resolve(self, p: int) -> pa.Table | None:
+    def resolve(self, p: int, as_of_txn: int | None = None) -> pa.Table | None:
         """Materialized view of a partition: LWW over base+deltas, tombstones
-        dropped, op column removed (delta-file resolution)."""
+        dropped, op column removed (delta-file resolution). ``as_of_txn``
+        resolves the snapshot at a retained historical commit instead
+        (requires init(history=True) for snapshots older than the current)."""
         from ..stages.merge import resolve_state
 
-        raw = self.read_state_raw(p)
+        raw = self.read_state_raw(p, as_of_txn)
         if raw is None:
             return None
         return resolve_state(raw)
@@ -238,30 +289,73 @@ class Lake:
         else:
             files = rel_files
             n_deltas = 0
-        self.fs.put_json(
-            self._manifest_path(p),
-            {
-                "partition": p,
-                "txn_hi": txn_hi,
-                "files": files,
-                "n_deltas": n_deltas,
-                "row_count": (cur.get("row_count", 0) if (mode == "watermark" and cur)
-                              else row_count),
-                "num_bytes": (cur.get("num_bytes", 0) if (mode == "watermark" and cur)
-                              else num_bytes),
-                "run_id": run_id,
-            },
-        )
-        self._gc_partition(p, files)
+        manifest = {
+            "partition": p,
+            "txn_hi": txn_hi,
+            "files": files,
+            "n_deltas": n_deltas,
+            "row_count": (cur.get("row_count", 0) if (mode == "watermark" and cur)
+                          else row_count),
+            "num_bytes": (cur.get("num_bytes", 0) if (mode == "watermark" and cur)
+                          else num_bytes),
+            "run_id": run_id,
+            "version": (cur.get("version", -1) + 1) if cur else 0,
+            "mode": mode,
+        }
+        history = self.history_enabled()
+        if history:
+            # one immutable object per committed version (no append — safe on
+            # object stores); the CURRENT manifest PUT below stays the single
+            # atomic commit point, so a crash between these two writes leaves
+            # at worst an orphan history entry that the next commit's version
+            # number simply overwrites
+            hdir = self._history_dir(p)
+            self.fs.makedirs(hdir)
+            self.fs.put_json(
+                os.path.join(hdir, f"v-{manifest['version']:06d}.json"),
+                manifest,
+            )
+        self.fs.put_json(self._manifest_path(p), manifest)
+        if not history:
+            self._gc_partition(p, files)
         return "committed"
 
-    def _gc_partition(self, p: int, live_rel_files: list[str]) -> None:
-        """Drop txn dirs no longer referenced by the manifest — best-effort."""
+    def _gc_partition(self, p: int, live_rel_files: list[str]) -> int:
+        """Drop txn dirs no longer referenced — best-effort; returns count."""
         pdir = self._p(f"part={p:05d}")
         live_dirs = {os.path.basename(os.path.dirname(f)) for f in live_rel_files}
+        removed = 0
         for name in self.fs.list_names(pdir):
             if name.startswith("txn=") and name not in live_dirs:
                 self.fs.delete_tree(os.path.join(pdir, name))
+                removed += 1
+        return removed
+
+    def vacuum(self, retain_last: int = 1) -> dict:
+        """Retention for history lakes: per partition, drop all but the
+        newest ``retain_last`` committed versions (the current manifest is
+        always version -1 of that list, so it is always retained) and GC txn
+        dirs referenced only by dropped versions. Reading a snapshot older
+        than the retention horizon afterwards raises (manifest_as_of).
+        Returns {"versions_dropped", "txn_dirs_removed"}."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        stats = {"versions_dropped": 0, "txn_dirs_removed": 0}
+        for p in sorted(self.watermarks()):
+            vs = self.versions(p)
+            if len(vs) <= retain_last:
+                continue
+            drop, keep = vs[:-retain_last], vs[-retain_last:]
+            live = [f for v in keep for f in v["files"]]
+            cur = self.manifest(p)
+            if cur:
+                live += cur["files"]
+            stats["txn_dirs_removed"] += self._gc_partition(p, live)
+            for v in drop:
+                self.fs.delete_file(os.path.join(
+                    self._history_dir(p), f"v-{v['version']:06d}.json"))
+                stats["versions_dropped"] += 1
+        return stats
 
     def compact_partition(self, p: int, run_id: str | None = None) -> str:
         """Resolve a partition's base+deltas into one base file at the same
@@ -329,10 +423,55 @@ class Lake:
             files.extend(self.partition_files(p))
         return files
 
-    def read_all(self) -> pa.Table:
-        """Whole-lake resolved table (tests / small results only)."""
+    def read_all(self, as_of_txn: int | None = None) -> pa.Table:
+        """Whole-lake resolved table (tests / small results only).
+        ``as_of_txn`` time-travels to the latest retained commit with
+        txn_hi <= as_of_txn per partition (requires init(history=True) for
+        snapshots older than the current one)."""
         parts = [t for p in sorted(self.watermarks())
-                 if (t := self.resolve(p)) is not None]
+                 if (t := self.resolve(p, as_of_txn)) is not None]
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(parts, promote_options="permissive")
+
+    # ---------- change feed ----------
+    def partition_changes(self, p: int, since_txn: int,
+                          until_txn: int | None = None) -> pa.Table:
+        """CDF for one partition: diff of the resolved snapshots as of
+        ``since_txn`` and ``until_txn`` (None = current). ``_change_type`` ∈
+        {insert, update, delete}; see stages.merge.diff_snapshots. since_txn
+        < the first commit diffs against the empty snapshot (all inserts)."""
+        from ..stages.merge import diff_snapshots
+
+        old = self.resolve(p, as_of_txn=since_txn)
+        new = self.resolve(p) if until_txn is None \
+            else self.resolve(p, as_of_txn=until_txn)
+        return diff_snapshots(old, new)
+
+    def changes(self, since_txn: int, until_txn: int | None = None):
+        """Distributed change feed: one remote diff task per partition (the
+        diff is partition-local by construction — both snapshots hash on the
+        same key — so no shuffle), returned as a Ray Dataset."""
+        import ray
+        import ray.data
+
+        root = self.root
+
+        @ray.remote(num_cpus=1)
+        def _diff(p: int):
+            return Lake(root).partition_changes(p, since_txn, until_txn)
+
+        parts = sorted(self.watermarks())
+        if not parts:
+            return ray.data.from_items([])
+        return ray.data.from_arrow_refs([_diff.remote(p) for p in parts])
+
+    def changes_table(self, since_txn: int,
+                      until_txn: int | None = None) -> pa.Table:
+        """Driver-side change feed (tests / small results only)."""
+        parts = [self.partition_changes(p, since_txn, until_txn)
+                 for p in sorted(self.watermarks())]
+        parts = [t for t in parts if t is not None and len(t)]
         if not parts:
             return pa.table({})
         return pa.concat_tables(parts, promote_options="permissive")

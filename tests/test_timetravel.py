@@ -1,0 +1,177 @@
+"""Time travel + change feed + vacuum over history-enabled lakes.
+
+history=True retains every committed manifest version (one immutable JSON
+object per commit — object-store safe) and its data files until vacuum():
+``read_all(as_of_txn=...)`` resolves the snapshot at any retained commit,
+``changes(since_txn)`` is a per-partition snapshot diff (CDF). Oracle is the
+single-process ``sequential_oracle`` applied to the event prefix.
+"""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from dataxray.gen import GenConfig, generate_event_shard, generate_pages, sequential_oracle, write_dataset
+from dataxray.pipelines.replay import ReplayConfig, replay
+from dataxray.state.manifest import Lake
+
+CFG = GenConfig(n_urls=200, n_events=3_000, n_shards=6, html_mean=32, zipf_s=1.2)
+N_PARTS = 4
+SHARDS_PER_EPOCH = 2
+
+pytestmark = pytest.mark.parametrize("scheme", ["", "mocks3://"])
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ttdata"))
+    write_dataset(d, CFG, parallel=False)
+    return d
+
+
+@pytest.fixture(scope="module")
+def shards():
+    return [generate_event_shard(CFG, s) for s in range(CFG.n_shards)]
+
+
+@pytest.fixture(scope="module")
+def pages():
+    return generate_pages(CFG)
+
+
+def _oracle_prefix(pages, shards, n_shards):
+    ev = pa.concat_tables(shards[:n_shards], promote_options="permissive")
+    df = sequential_oracle(pages, ev)
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def _build(data_dir, tmp_path, scheme, sink_mode="rewrite", history=True):
+    """Replay the WAL in epochs of SHARDS_PER_EPOCH shards; return
+    (lake_root, [epoch txn ceilings])."""
+    lake = scheme + str(tmp_path / "lake")
+    cfg = ReplayConfig(num_partitions=N_PARTS, sink_mode=sink_mode,
+                       compact_threshold=100, history=history)
+    files = sorted(os.listdir(os.path.join(data_dir, "events")))
+    staged = str(tmp_path / "stagedwal")
+    os.makedirs(staged, exist_ok=True)
+    boundaries = []
+    import pyarrow.parquet as pq
+
+    hi = 0
+    for i in range(0, len(files), SHARDS_PER_EPOCH):
+        for f in files[i : i + SHARDS_PER_EPOCH]:
+            shutil.copy(os.path.join(data_dir, "events", f), staged)
+            t = pq.read_table(os.path.join(staged, f), columns=["txn_id"])
+            hi = max(hi, t["txn_id"].combine_chunks().to_numpy().max())
+        replay(staged, lake,
+               pages_path=os.path.join(data_dir, "pages.parquet"), cfg=cfg)
+        boundaries.append(int(hi))
+    return lake, boundaries
+
+
+def _assert_state(got: pa.Table, want_df):
+    g = got.to_pandas().sort_values("url").reset_index(drop=True)
+    assert g["url"].tolist() == want_df["url"].tolist()
+    assert g["text"].tolist() == want_df["text"].tolist()
+    assert g["txn_id"].tolist() == want_df["txn_id"].tolist()
+
+
+def test_snapshot_as_of_each_epoch(data_dir, pages, shards, tmp_path, scheme):
+    lake, bounds = _build(data_dir, tmp_path, scheme)
+    L = Lake(lake)
+    for k, b in enumerate(bounds):
+        want = _oracle_prefix(pages, shards, (k + 1) * SHARDS_PER_EPOCH)
+        _assert_state(L.read_all(as_of_txn=b), want)
+    # as-of beyond the last commit floors to the current snapshot
+    _assert_state(L.read_all(as_of_txn=bounds[-1] * 10), _oracle_prefix(
+        pages, shards, CFG.n_shards))
+
+
+def test_snapshot_as_of_delta_mode(data_dir, pages, shards, tmp_path, scheme):
+    lake, bounds = _build(data_dir, tmp_path, scheme, sink_mode="delta")
+    L = Lake(lake)
+    assert max((L.manifest(p) or {}).get("n_deltas", 0)
+               for p in range(N_PARTS)) >= 1
+    want = _oracle_prefix(pages, shards, SHARDS_PER_EPOCH)
+    _assert_state(L.read_all(as_of_txn=bounds[0]), want)
+    _assert_state(L.read_all(), _oracle_prefix(pages, shards, CFG.n_shards))
+
+
+def _expected_changes(old_df, new_df):
+    old = {r.url: r for r in old_df.itertuples(index=False)}
+    new = {r.url: r for r in new_df.itertuples(index=False)}
+    out = set()
+    for url, r in new.items():
+        if url not in old:
+            out.add((url, "insert", int(r.txn_id)))
+        elif (r.txn_id, r.seq) != (old[url].txn_id, old[url].seq):
+            out.add((url, "update", int(r.txn_id)))
+    for url, r in old.items():
+        if url not in new:
+            out.add((url, "delete", int(r.txn_id)))
+    return out
+
+
+def test_change_feed_matches_snapshot_diff(data_dir, pages, shards, tmp_path, scheme):
+    lake, bounds = _build(data_dir, tmp_path, scheme)
+    old = _oracle_prefix(pages, shards, SHARDS_PER_EPOCH)
+    new = _oracle_prefix(pages, shards, CFG.n_shards)
+    want = _expected_changes(old, new)
+    got = Lake(lake).changes_table(since_txn=bounds[0])
+    got_set = set(zip(got["url"].to_pylist(),
+                      got["_change_type"].to_pylist(),
+                      (int(x) for x in got["txn_id"].to_pylist())))
+    assert got_set == want
+    # bounded window: epoch1 -> epoch2 only
+    mid = _oracle_prefix(pages, shards, 2 * SHARDS_PER_EPOCH)
+    got2 = Lake(lake).changes_table(since_txn=bounds[0], until_txn=bounds[1])
+    assert set(zip(got2["url"].to_pylist(), got2["_change_type"].to_pylist(),
+                   (int(x) for x in got2["txn_id"].to_pylist()))) \
+        == _expected_changes(old, mid)
+
+
+def test_change_feed_from_genesis_is_all_inserts(data_dir, pages, shards, tmp_path, scheme):
+    lake, _ = _build(data_dir, tmp_path, scheme)
+    got = Lake(lake).changes_table(since_txn=-1)
+    assert set(got["_change_type"].to_pylist()) == {"insert"}
+    final = _oracle_prefix(pages, shards, CFG.n_shards)
+    assert sorted(got["url"].to_pylist()) == final["url"].tolist()
+
+
+def test_vacuum_drops_old_snapshots_keeps_current(data_dir, pages, shards, tmp_path, scheme):
+    lake, bounds = _build(data_dir, tmp_path, scheme)
+    L = Lake(lake)
+    stats = L.vacuum(retain_last=1)
+    assert stats["versions_dropped"] > 0
+    assert stats["txn_dirs_removed"] > 0  # rewrite mode: old txn dirs freed
+    _assert_state(L.read_all(), _oracle_prefix(pages, shards, CFG.n_shards))
+    with pytest.raises(ValueError, match="vacuumed"):
+        L.read_all(as_of_txn=bounds[0])
+
+
+def test_orphan_history_entry_not_trusted(data_dir, pages, shards, tmp_path, scheme):
+    """A crash between the history PUT and the current-manifest PUT leaves an
+    orphan newer version — it must never be served."""
+    lake, bounds = _build(data_dir, tmp_path, scheme)
+    L = Lake(lake)
+    cur = L.manifest(0)
+    orphan = {**cur, "version": cur["version"] + 3, "txn_hi": 10**9,
+              "files": ["part=00000/txn=9999999999/ghost.parquet"]}
+    L.fs.put_json(os.path.join(L._history_dir(0),
+                               f"v-{orphan['version']:06d}.json"), orphan)
+    assert all(v["version"] <= cur["version"] for v in L.versions(0))
+    _assert_state(L.read_all(as_of_txn=10**9),
+                  _oracle_prefix(pages, shards, CFG.n_shards))
+
+
+def test_history_off_rejects_old_snapshots(data_dir, pages, shards, tmp_path, scheme):
+    lake, bounds = _build(data_dir, tmp_path, scheme, history=False)
+    L = Lake(lake)
+    assert not L.history_enabled()
+    # the current commit still answers as-of >= its txn_hi
+    _assert_state(L.read_all(as_of_txn=bounds[-1]),
+                  _oracle_prefix(pages, shards, CFG.n_shards))
+    with pytest.raises(ValueError, match="vacuumed"):
+        L.read_all(as_of_txn=bounds[0])
