@@ -237,11 +237,19 @@ def scaling() -> None:
 
 
 def scaling_weak() -> None:
-    """Weak-scaling proxy: data grows with parallelism (8 CPUs on a quarter
-    of the events vs 32 CPUs on all of them), so per-CPU load is constant —
-    the closer analog of 'N nodes → 4N nodes on 4× the shard count', and
-    insensitive to the single box's fixed memory bandwidth that caps the
-    strong-scaling ratio. Ideal: equal wall time → efficiency 1.0."""
+    """Weak-scaling proxy: data grows with parallelism (lo CPUs on a quarter
+    of the events vs hi=4·lo CPUs on all of them), so per-CPU load is
+    constant — the closer analog of 'N nodes → 4N nodes on 4× the shard
+    count', and insensitive to the single box's fixed memory bandwidth that
+    caps the strong-scaling ratio. Ideal: equal wall time → efficiency 1.0.
+
+    BENCH_WEAK_CPUS="lo,hi" (default "8,32") picks the levels. "2,8" keeps
+    the hi level's total demand at a quarter of the box — the bandwidth-
+    unsaturated regime, which is the fairer model of N→4N *nodes* (each
+    cluster node keeps its own memory bus; only this sandbox makes all CPUs
+    share one)."""
+    lo, hi = (int(c) for c in
+              os.environ.get("BENCH_WEAK_CPUS", "8,32").split(","))
     small_gen = dict(GEN, n_urls=GEN["n_urls"] // 4, n_events=GEN["n_events"] // 4,
                      n_shards=GEN["n_shards"] // 4)
     prep = (
@@ -254,11 +262,11 @@ def scaling_weak() -> None:
     )
     subprocess.run([sys.executable, "-c", prep], check=True,
                    cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
-    best: dict[int, float | None] = {8: None, 32: None}
-    events = {8: small_gen["n_events"] + small_gen["n_urls"],
-              32: GEN["n_events"] + GEN["n_urls"]}
+    best: dict[int, float | None] = {lo: None, hi: None}
+    events = {lo: small_gen["n_events"] + small_gen["n_urls"],
+              hi: GEN["n_events"] + GEN["n_urls"]}
     for _round in range(3):
-        for ncpu, data_dir in ((8, BENCH_DATA + "-q"), (32, BENCH_DATA)):
+        for ncpu, data_dir in ((lo, BENCH_DATA + "-q"), (hi, BENCH_DATA)):
             prog = (
                 "import ray, sys, time, shutil, os, json; sys.path.insert(0,'.'); "
                 f"ray.init(address='local', num_cpus={ncpu}, include_dashboard=False, logging_level='ERROR'); "
@@ -280,15 +288,15 @@ def scaling_weak() -> None:
                                  cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
             sec = json.loads(out.stdout.strip().splitlines()[-1])["sec"]
             best[ncpu] = sec if best[ncpu] is None else min(best[ncpu], sec)
-    thr8 = events[8] / best[8]
-    thr32 = events[32] / best[32]
+    thr_lo = events[lo] / best[lo]
+    thr_hi = events[hi] / best[hi]
     print(json.dumps({
-        "metric": "weak_scaling_efficiency_8_to_32",
-        "sec_8_quarter_data": round(best[8], 3),
-        "sec_32_full_data": round(best[32], 3),
-        "events_per_sec_8": round(thr8, 1),
-        "events_per_sec_32": round(thr32, 1),
-        "weak_scaling_efficiency": round(thr32 / (4 * thr8), 3),
+        "metric": f"weak_scaling_efficiency_{lo}_to_{hi}",
+        f"sec_{lo}_quarter_data": round(best[lo], 3),
+        f"sec_{hi}_full_data": round(best[hi], 3),
+        f"events_per_sec_{lo}": round(thr_lo, 1),
+        f"events_per_sec_{hi}": round(thr_hi, 1),
+        "weak_scaling_efficiency": round(thr_hi / (4 * thr_lo), 3),
     }))
 
 

@@ -29,11 +29,16 @@ import pyarrow.compute as pc
 
 
 def add_content_key(batch: pa.Table, col: str = "text", out: str = "content_key") -> pa.Table:
-    """md5 hex of the column (matches DuckDB md5() for the oracle)."""
+    """md5 hex of the column (matches DuckDB md5() for the oracle).
+
+    Hashes the Arrow UTF-8 buffer bytes directly (cast to binary, iterate
+    scalars as bytes) — no str-decode + re-encode round trip per row; md5
+    itself has no vectorized kernel anywhere in the stack."""
     import hashlib
 
-    vals = [hashlib.md5(v.encode()).hexdigest() if v is not None else ""
-            for v in batch[col].to_pylist()]
+    md5 = hashlib.md5
+    vals = [md5(v).hexdigest() if v is not None else ""
+            for v in batch[col].cast(pa.binary()).to_pylist()]
     return batch.append_column(out, pa.array(vals, pa.string()))
 
 

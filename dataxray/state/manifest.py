@@ -476,29 +476,34 @@ class Lake:
             return pa.table({})
         return pa.concat_tables(parts, promote_options="permissive")
 
-    def scan_plan(self, predicate=None) -> dict:
+    def scan_plan(self, predicate=None, as_of_txn: int | None = None) -> dict:
         """Plan a snapshot scan: split partitions into pure-base vs
         delta-bearing, then prune with parquet footer statistics when a
         predicate is given (state.predicate: file-level for base partitions,
         whole-partition for delta partitions — delta resolution must read
         every surviving partition's full lineage, so per-file pruning there
-        would be unsound). Returns the plan plus pruning counters so callers
-        and tests can verify fewer files are opened."""
+        would be unsound). ``as_of_txn`` plans against the retained historical
+        version instead (time travel; partitions with no commit by then are
+        skipped). Returns the plan plus pruning counters so callers and tests
+        can verify fewer files are opened."""
         from .predicate import normalize
 
         pred = normalize(predicate)
         wm = self.watermarks()
+        mans = {p: (self.manifest(p) if as_of_txn is None
+                    else self.manifest_as_of(p, as_of_txn)) for p in wm}
+        mans = {p: m for p, m in mans.items() if m is not None}
         delta_parts = sorted(
-            p for p in wm if (self.manifest(p) or {}).get("n_deltas", 0) > 0)
-        base_files = [f for p in sorted(wm) if p not in delta_parts
-                      for f in self.partition_files(p)]
+            p for p, m in mans.items() if m.get("n_deltas", 0) > 0)
+        base_files = [f for p in sorted(mans) if p not in delta_parts
+                      for f in self.partition_files(p, as_of_txn)]
         n_base, n_delta = len(base_files), len(delta_parts)
         if pred is not None and pred.conjuncts:
             base_files = [f for f in base_files
                           if pred.file_may_match(self.fs, f)]
             delta_parts = [p for p in delta_parts
                            if any(pred.file_may_match(self.fs, f)
-                                  for f in self.partition_files(p))]
+                                  for f in self.partition_files(p, as_of_txn))]
         return {
             "predicate": pred,
             "base_files": base_files,
@@ -510,7 +515,7 @@ class Lake:
         }
 
     def dataset(self, columns: list[str] | None = None, predicate=None,
-                **kwargs):
+                as_of_txn: int | None = None, **kwargs):
         """Distributed read of the current lake snapshot. Partitions with
         delta files resolve inside one remote task each (partition-local LWW
         — no shuffle); pure-base partitions stream via read_parquet. Column
@@ -521,11 +526,14 @@ class Lake:
         ``state.predicate.Predicate`` — pushes down in three layers (see
         that module's docstring): footer-stats file/partition pruning, an
         Arrow scan filter on the base path, and post-LWW-resolve filtering
-        inside each delta partition's resolve task."""
+        inside each delta partition's resolve task.
+
+        ``as_of_txn`` — distributed time travel: stream the snapshot at the
+        retained historical commit instead (init(history=True) lakes)."""
         import ray
         import ray.data
 
-        plan = self.scan_plan(predicate)
+        plan = self.scan_plan(predicate, as_of_txn=as_of_txn)
         pred = plan["predicate"]
         pieces = []
         if plan["base_files"]:
@@ -543,7 +551,7 @@ class Lake:
             def _resolve(p: int):
                 from .predicate import Predicate
 
-                t = Lake(root).resolve(p)
+                t = Lake(root).resolve(p, as_of_txn=as_of_txn)
                 if conjuncts:
                     t = Predicate(conjuncts).filter_table(t)
                 return t.select(columns) if columns else t
