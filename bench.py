@@ -165,6 +165,29 @@ def run_queries() -> dict:
     return out
 
 
+def _cpu_times() -> list[int]:
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):
+        return []
+
+
+def _box_noise(before: list[int], after: list[int]) -> dict:
+    """CPU accounting over the measured window (/proc/stat aggregate line):
+    steal_pct is hypervisor co-tenancy (cycles taken from this VM while it
+    was runnable); busy_pct is everything non-idle on the box. Recorded
+    with every bench line so a noisy sample carries its own evidence —
+    sessions here have shown 2x+ swings that correlate with steal spikes."""
+    if not before or not after:
+        return {}
+    d = [b - a for a, b in zip(before, after)]
+    tot = sum(d) or 1
+    # /proc/stat cpu fields: user nice system idle iowait irq softirq steal …
+    return {"steal_pct": round(100 * d[7] / tot, 2),
+            "busy_pct": round(100 * (tot - d[3] - d[4]) / tot, 2)}
+
+
 def main() -> None:
     import ray
 
@@ -181,8 +204,10 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     prepare_data()
+    c0 = _cpu_times()
     headline = run_headline()
     queries = run_queries()
+    box = _box_noise(c0, _cpu_times())
     ray.shutdown()
 
     print(json.dumps({
@@ -192,6 +217,7 @@ def main() -> None:
         "events_per_sec": headline["events_per_sec"],
         "headline": headline,
         "queries": queries,
+        "box": box,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }))
@@ -214,6 +240,7 @@ def scaling() -> None:
         check=True, cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
     )
     best: dict[int, dict | None] = {8: None, 32: None}
+    c0 = _cpu_times()
     for _round in range(3):
         for ncpu in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -233,6 +260,7 @@ def scaling() -> None:
         "events_per_sec_8": thr8,
         "events_per_sec_32": thr32,
         "scaling_efficiency": round((thr32 / thr8) / 4, 3),
+        "box_window": _box_noise(c0, _cpu_times()),
     }))
 
 
@@ -265,6 +293,7 @@ def scaling_weak() -> None:
     best: dict[int, float | None] = {lo: None, hi: None}
     events = {lo: small_gen["n_events"] + small_gen["n_urls"],
               hi: GEN["n_events"] + GEN["n_urls"]}
+    c0 = _cpu_times()
     for _round in range(3):
         for ncpu, data_dir in ((lo, BENCH_DATA + "-q"), (hi, BENCH_DATA)):
             prog = (
@@ -297,6 +326,7 @@ def scaling_weak() -> None:
         f"events_per_sec_{lo}": round(thr_lo, 1),
         f"events_per_sec_{hi}": round(thr_hi, 1),
         "weak_scaling_efficiency": round(thr_hi / (4 * thr_lo), 3),
+        "box_window": _box_noise(c0, _cpu_times()),
     }))
 
 
@@ -313,11 +343,14 @@ def headline_only() -> None:
     _use_push_shuffle(ctx)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     prepare_data()
+    c0 = _cpu_times()
     headline = run_headline()
+    box = _box_noise(c0, _cpu_times())
     ray.shutdown()
     print(json.dumps({
         "metric": "cdc_full_replay_sec", "value": headline["sec"], "unit": "sec",
         "events_per_sec": headline["events_per_sec"], "num_cpus": NUM_CPUS,
+        "box": box,
     }))
 
 
