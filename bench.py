@@ -182,6 +182,8 @@ def _box_noise(before: list[int], after: list[int]) -> dict:
     if not before or not after:
         return {}
     d = [b - a for a, b in zip(before, after)]
+    if len(d) < 8:  # old kernels / containers expose < 8 /proc/stat fields
+        return {}
     tot = sum(d) or 1
     # /proc/stat cpu fields: user nice system idle iowait irq softirq steal …
     return {"steal_pct": round(100 * d[7] / tot, 2),

@@ -123,7 +123,11 @@ def explode_bands(batch: pa.Table, num_bands: int, id_col: str = "doc_id") -> pa
             band = sig[b * rows : (b + 1) * rows]
             keys.append(f"{b}:{zlib.crc32(band.tobytes()):08x}")
             ids.append(did)
-    return pa.table({"band_key": pa.array(keys, pa.string()), id_col: pa.array(ids)})
+    # type the id array explicitly: an EMPTY batch (common at high read
+    # parallelism) would otherwise infer doc_id: null and poison any strict
+    # schema concat downstream (the r03 gate crash at num_cpus=32)
+    return pa.table({"band_key": pa.array(keys, pa.string()),
+                     id_col: pa.array(ids, type=batch.schema.field(id_col).type)})
 
 
 def candidate_pairs_from_bucket(g: pa.Table, id_col: str = "doc_id",
@@ -166,11 +170,17 @@ def pairs_from_buckets(hot_ds, key_col: str, pair_fn,
     if hot_rows <= small_limit:
         @ray.remote(num_cpus=1)
         def expand(*tables: pa.Table) -> pa.Table:
-            if not tables:
-                return pair_fn(pa.concat_tables([]))  # pragma: no cover
-            t = pa.concat_tables(tables).sort_by([(key_col, "ascending")])
-            if len(t) == 0:
-                return _combine_once(keys, combine, pair_fn(t))
+            # zero-row blocks are routine at high parallelism (more read
+            # tasks than rows) and may carry degraded inferred types from
+            # upstream stages — drop them, and concat permissively so one
+            # straggler schema cannot fail the whole expansion
+            nonempty = [t for t in tables if len(t)]
+            if not nonempty:
+                base = tables[0] if tables else pa.table(
+                    {key_col: pa.array([], pa.string())})
+                return _combine_once(keys, combine, pair_fn(base.slice(0, 0)))
+            t = pa.concat_tables(nonempty, promote_options="permissive") \
+                .sort_by([(key_col, "ascending")])
             # run boundaries: dictionary codes of a sorted column are
             # non-decreasing (codes assigned at first appearance)
             codes = t[key_col].combine_chunks().dictionary_encode() \
@@ -203,8 +213,11 @@ def multi_member_buckets(ds, key_col: str, join_partitions: int = 8,
     exceeds ``broadcast_limit`` falls back to an inner hash join — the
     shuffle is then the cheaper side of the trade.
 
-    Returns (filtered_ds, hot_member_rows) — the row count steers the
-    downstream pair expansion (pairs_from_buckets single-task fast path)."""
+    Returns (filtered_ds, hot_member_rows, bucket_sizes) — the row count
+    steers the downstream pair expansion (pairs_from_buckets single-task
+    fast path); bucket_sizes (the multi-member buckets' member counts, a
+    driver-side numpy array) lets callers detect cap-induced candidate drops
+    BEFORE they happen and fail or warn loudly (see check_bucket_caps)."""
     import ray
 
     from ..stages.hashagg import tree_aggregate
@@ -222,16 +235,39 @@ def multi_member_buckets(ds, key_col: str, join_partitions: int = 8,
         .filter(expr="_bn >= 2")
     keys_tbl = pa.concat_tables(ray.get(multi.to_arrow_refs()))
     hot_rows = int(pc.sum(keys_tbl["_bn"]).as_py() or 0)
+    sizes = keys_tbl["_bn"].combine_chunks().to_numpy(zero_copy_only=False)
     if len(keys_tbl) <= broadcast_limit:
         ref = ray.put(keys_tbl[key_col].combine_chunks())
 
         def filt(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_in(t[key_col], value_set=ray.get(ref)))
 
-        return ds.map_batches(filt, batch_format="pyarrow"), hot_rows
+        return ds.map_batches(filt, batch_format="pyarrow"), hot_rows, sizes
     out = ds.join(multi, join_type="inner", num_partitions=join_partitions,
                   on=(key_col,))
-    return out.drop_columns(["_bn"]), hot_rows
+    return out.drop_columns(["_bn"]), hot_rows, sizes
+
+
+def check_bucket_caps(sizes, max_bucket: int, op: str,
+                      on_capped: str = "warn") -> int:
+    """Driver-side guard for the per-bucket pair-expansion cap: any bucket
+    with more than ``max_bucket`` members will have candidates silently
+    truncated inside a worker. Operators that advertise EXACT results
+    (ngram_jaccard_pairs) pass on_capped="raise" so a gate run fails loudly
+    instead of diverging quietly from its oracle; probabilistic operators
+    warn on the driver (visible, unlike a worker-side print). Returns the
+    number of dropped bucket memberships."""
+    over = sizes[sizes > max_bucket] if len(sizes) else sizes
+    if len(over) == 0:
+        return 0
+    dropped = int((over - max_bucket).sum())
+    msg = (f"[{op}] {len(over)} bucket(s) exceed max_bucket={max_bucket} "
+           f"(largest {int(over.max())}; {dropped} memberships dropped) — "
+           f"raise max_bucket or pre-dedup the degenerate key")
+    if on_capped == "raise":
+        raise RuntimeError(msg)
+    print(msg)
+    return dropped
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -321,7 +357,9 @@ def minhash_dedup_pairs(ds, num_perm: int = 64, num_bands: int = 16,
     # Python stage; pair expansion + distinct collapse into one task for
     # dup-cluster-sized hot sets (pairs_from_buckets), else a distributed
     # groupby + tree distinct — never a row-cardinality groupby
-    bands, hot_rows = multi_member_buckets(bands, "band_key", join_partitions)
+    bands, hot_rows, sizes = multi_member_buckets(bands, "band_key",
+                                                  join_partitions)
+    check_bucket_caps(sizes, max_bucket, "minhash_dedup_pairs")
     pairs = pairs_from_buckets(
         bands, "band_key",
         lambda g: candidate_pairs_from_bucket(g, id_col, max_bucket),
@@ -394,7 +432,13 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.7, shingle_k: int = 3,
     Only prefix index rows (~(1-t) × shingle count) ever shuffle."""
     pref = ds.map_batches(PrefixExplode(threshold, shingle_k, id_col),
                           batch_format="pyarrow", batch_size=1024)
-    hot, hot_rows = multi_member_buckets(pref, "sh_key", join_partitions)
+    hot, hot_rows, sizes = multi_member_buckets(pref, "sh_key",
+                                                join_partitions)
+    # this operator advertises an EXACT join: a capped bucket would silently
+    # drop true pairs, so fail loudly (ADVICE r03) — the caller can raise
+    # max_bucket or route the degenerate shingle through exact_dedup first
+    check_bucket_caps(sizes, max_bucket, "ngram_jaccard_pairs",
+                      on_capped="raise")
     pairs = pairs_from_buckets(
         hot, "sh_key",
         lambda g: candidate_pairs_from_bucket(g, id_col, max_bucket),
@@ -571,7 +615,9 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
                 keys.append(f"{c}:{chunk:04x}")
                 ids.append(did)
                 sims.append(s)
-        return pa.table({"chunk_key": pa.array(keys), id_col: pa.array(ids, pa.int64()),
+        # chunk_key typed: empty batches must not infer a null-typed column
+        return pa.table({"chunk_key": pa.array(keys, pa.string()),
+                         id_col: pa.array(ids, pa.int64()),
                          "simhash": pa.array(sims, pa.int64())})
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
@@ -599,7 +645,7 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
     buckets = sig.map_batches(
         lambda t: explode(t.select([id_col, "simhash"])), batch_format="pyarrow"
     )
-    buckets, hot_rows = multi_member_buckets(buckets, "chunk_key")
+    buckets, hot_rows, _ = multi_member_buckets(buckets, "chunk_key")
     return pairs_from_buckets(buckets, "chunk_key", bucket_pairs,
                               ["id_a", "id_b"], {"hamming": "min"}, hot_rows)
 
@@ -699,9 +745,12 @@ def embedding_dup_pairs_lsh(ds, threshold: float = 0.3, id_col: str = "vec_id",
                 out_key.append(f"{t}:{buckets[i]}")
                 out_id.append(ids[i])
                 out_vec.append(vecs[i])
+        # vec column typed from the input schema: an empty batch must not
+        # infer a null-typed list column (schema mix breaks later concats)
         return pa.table({"bucket": pa.array(out_key, pa.string()),
                          id_col: pa.array(out_id, pa.int64()),
-                         vec_col: pa.array(out_vec)})
+                         vec_col: pa.array(out_vec,
+                                           type=batch.schema.field(vec_col).type)})
 
     def score_bucket(g: pa.Table) -> pa.Table:
         if len(g) > max_bucket:

@@ -25,6 +25,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _SIDE, _BUCKET, _KEY = "_asof_side", "_asof_bucket", "_asof_key"
+_RESERVED = {_SIDE, _BUCKET, _KEY, "_asof_ts", "_ivs", "_ive", "_pts"}
+
+
+def _check_reserved(*schemas: pa.Schema) -> None:
+    """An input column named like an internal tag column would be silently
+    overwritten in the tag dict → wrong join results. Fail loudly instead."""
+    clash = {n for s in schemas for n in s.names} & _RESERVED
+    if clash:
+        raise ValueError(
+            f"input columns collide with reserved temporal-join internals: "
+            f"{sorted(clash)} — rename them before joining")
 
 
 def _knuth_bucket(keys: pa.ChunkedArray, num_buckets: int) -> pa.Array:
@@ -53,6 +64,7 @@ def asof_join(left, right, *, on_left: str, on_right: str, by_left: str,
     import pandas as pd
 
     left_schema, right_schema = left.schema(), right.schema()
+    _check_reserved(left_schema, right_schema)
     left_cols = [n for n in left_schema.names]
     dup = set(left_cols) & set(right_cols)
     if dup:
@@ -120,6 +132,7 @@ def interval_join(points, intervals, *, on: str, start_col: str, end_col: str,
     import pandas as pd  # noqa: F401  (to_pandas requires it at runtime)
 
     p_schema, i_schema = points.schema(), intervals.schema()
+    _check_reserved(p_schema, i_schema)
     dup = set(point_cols) & set(interval_cols)
     if dup:
         raise ValueError(f"overlapping output columns: {sorted(dup)}")

@@ -216,6 +216,15 @@ def cdc_change_feed(sf_dir: str) -> pa.Table:
     lake_dir, thr = _history_lake(sf_dir)
     ds = Lake(lake_dir).changes(since_txn=thr)
     parts = [t for t in ray.get(ds.to_arrow_refs()) if t is not None and len(t)]
+    if not parts:  # empty feed (since_txn == current txn_hi) is not an error
+        return pa.table({
+            "url": pa.array([], pa.string()),
+            "change_type": pa.array([], pa.string()),
+            "txn_id": pa.array([], pa.int64()),
+            "warc_ts": pa.array([], pa.timestamp("ms")),
+            "text": pa.array([], pa.large_string()),
+            "lang": pa.array([], pa.string()),
+        })
     t = pa.concat_tables(parts, promote_options="permissive")
     t = t.append_column("change_type", t["_change_type"])
     return t.select(

@@ -172,8 +172,11 @@ class MinHashIndex:
         # 3. pair expansion over pair-producing buckets (same machinery as
         # the one-shot pipeline), then drop indexed×indexed pairs — they
         # were delivered by the epoch that introduced them
-        hot, hot_rows = multi_member_buckets(combined, "band_key",
-                                             join_partitions)
+        from ..functions.dedup import check_bucket_caps
+
+        hot, hot_rows, sizes = multi_member_buckets(combined, "band_key",
+                                                    join_partitions)
+        check_bucket_caps(sizes, max_bucket, "MinHashIndex.ingest")
         pairs = pairs_from_buckets(
             hot, "band_key",
             lambda g: candidate_pairs_from_bucket(g, id_col, max_bucket),

@@ -160,11 +160,15 @@ class Lake:
         floor — snapshot granularity is the commit boundary, like any
         versioned lake). None if the partition had no commit by then; raises
         if the snapshot has been vacuumed away."""
-        vs = [v for v in self.versions(p) if v["txn_hi"] <= as_of_txn]
+        # one versions() call: it re-lists and re-reads every history JSON,
+        # so resolving it three times made each time-travel lookup O(3×
+        # versions) filesystem reads — expensive on object stores
+        all_vs = self.versions(p)
+        vs = [v for v in all_vs if v["txn_hi"] <= as_of_txn]
         if vs:
             return vs[-1]
-        if any(True for _ in self.versions(p)):  # partition exists, older gone
-            first = self.versions(p)[0]
+        if all_vs:  # partition exists, older snapshots gone
+            first = all_vs[0]
             if first["txn_hi"] > as_of_txn and first.get("version", 0) > 0:
                 raise ValueError(
                     f"partition {p}: snapshot as of txn {as_of_txn} was "
@@ -495,15 +499,20 @@ class Lake:
         mans = {p: m for p, m in mans.items() if m is not None}
         delta_parts = sorted(
             p for p, m in mans.items() if m.get("n_deltas", 0) > 0)
+        # thread the already-resolved manifests into file listing instead of
+        # re-resolving via partition_files → manifest_as_of → versions (each
+        # of which re-reads the whole history dir on object stores)
+        files_of = {p: [self._p(f) for f in m["files"]]
+                    for p, m in mans.items()}
         base_files = [f for p in sorted(mans) if p not in delta_parts
-                      for f in self.partition_files(p, as_of_txn)]
+                      for f in files_of[p]]
         n_base, n_delta = len(base_files), len(delta_parts)
         if pred is not None and pred.conjuncts:
             base_files = [f for f in base_files
                           if pred.file_may_match(self.fs, f)]
             delta_parts = [p for p in delta_parts
                            if any(pred.file_may_match(self.fs, f)
-                                  for f in self.partition_files(p, as_of_txn))]
+                                  for f in files_of[p])]
         return {
             "predicate": pred,
             "base_files": base_files,

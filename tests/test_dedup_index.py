@@ -89,3 +89,78 @@ def test_empty_epoch_commits_label(tmp_path):
     out = idx.ingest(empty, ray.data.from_arrow(docs), label="e1")
     assert out.count() == 0
     assert "e1" in idx.meta()["epochs"]
+
+
+def test_ingest_with_empty_blocks(tmp_path):
+    """Regression (round-3 gate crash at num_cpus=32): blocks ≫ rows means
+    most batches reaching explode_bands are EMPTY; an untyped pa.array([])
+    inferred doc_id: null and the strict concat in pairs_from_buckets.expand
+    refused the mixed schemas. repartition(32) forces the same shape at any
+    test parallelism."""
+    import ray.data
+
+    from dataxray.functions.dedup import minhash_dedup_pairs
+
+    docs = _docs()
+    full = _pairs_set(minhash_dedup_pairs(
+        ray.data.from_arrow(docs), threshold=0.5))
+
+    idx = MinHashIndex(str(tmp_path / "idx")).create()
+    corpus = ray.data.from_arrow(docs)
+    e1 = docs.filter(pa.compute.less(docs["doc_id"], 3))
+    e2 = docs.filter(pa.compute.greater_equal(docs["doc_id"], 3))
+    p1 = _pairs_set(idx.ingest(ray.data.from_arrow(e1).repartition(32), corpus,
+                               threshold=0.5, label="e1"))
+    p2 = _pairs_set(idx.ingest(ray.data.from_arrow(e2).repartition(32), corpus,
+                               threshold=0.5, label="e2"))
+    assert p1 | p2 == full
+
+
+def test_one_shot_pipelines_with_empty_blocks():
+    """The one-shot minhash / simhash / embedding-LSH paths share the same
+    explode stages — they must also survive an all-but-empty block layout."""
+    import numpy as np
+    import ray.data
+
+    from dataxray.functions.dedup import (embedding_dup_pairs_lsh,
+                                          minhash_dedup_pairs, simhash_pairs)
+
+    docs = _docs()
+    sparse = ray.data.from_arrow(docs).repartition(32)
+    assert _pairs_set(minhash_dedup_pairs(sparse, threshold=0.5)) == _pairs_set(
+        minhash_dedup_pairs(ray.data.from_arrow(docs), threshold=0.5))
+    assert _pairs_set(simhash_pairs(sparse, max_hamming=6)) == _pairs_set(
+        simhash_pairs(ray.data.from_arrow(docs), max_hamming=6))
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(8, 4))
+    vecs = pa.table({
+        "vec_id": pa.array(range(16), pa.int64()),
+        "embedding": pa.array([list(map(float, base[i % 8] + (0.001 if i >= 8 else 0)))
+                               for i in range(16)], pa.list_(pa.float64())),
+    })
+    dense = ray.data.from_arrow(vecs)
+    assert _pairs_set(embedding_dup_pairs_lsh(dense.repartition(48),
+                                              threshold=0.9)) == \
+        _pairs_set(embedding_dup_pairs_lsh(dense, threshold=0.9))
+
+
+def test_ngram_capped_bucket_raises():
+    """ngram_jaccard_pairs advertises exactness — a bucket over max_bucket
+    must fail loudly on the DRIVER, not silently drop candidates on a
+    worker (ADVICE r03)."""
+    import ray.data
+
+    from dataxray.functions.dedup import ngram_jaccard_pairs
+
+    texts = ["common shared prefix words here plus doc %d" % i
+             for i in range(12)]
+    docs = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    with pytest.raises(RuntimeError, match="max_bucket"):
+        ngram_jaccard_pairs(ray.data.from_arrow(docs), threshold=0.2,
+                            max_bucket=2)
+    # and a roomy cap still works end-to-end
+    out = ngram_jaccard_pairs(ray.data.from_arrow(docs), threshold=0.2,
+                              max_bucket=1024)
+    assert out.count() > 0

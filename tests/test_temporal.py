@@ -107,3 +107,24 @@ def test_interval_join_matches_bruteforce():
     assert got == sorted(want) and len(want) > 0
     assert any(sum(1 for a, _ in want if a == lid) > 1
                for lid in {a for a, _ in want})  # some point hit 2+ windows
+
+
+def test_reserved_internal_names_rejected():
+    import pytest
+
+    from dataxray.functions.temporal import asof_join, interval_join
+
+    left, right = _mk()
+    bad = left.rename(columns={"lid": "_asof_key"})
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(ray.data.from_arrow(pa.Table.from_pandas(bad)),
+                  ray.data.from_arrow(pa.Table.from_pandas(right)),
+                  on_left="lts", on_right="rts", by_left="k", by_right="rk",
+                  right_cols=["rid", "rval"])
+    badr = right.rename(columns={"rval": "_pts"})
+    with pytest.raises(ValueError, match="reserved"):
+        interval_join(ray.data.from_arrow(pa.Table.from_pandas(left)),
+                      ray.data.from_arrow(pa.Table.from_pandas(badr)),
+                      on="lts", start_col="rts", end_col="rts",
+                      by_left="k", by_right="rk",
+                      point_cols=["lid"], interval_cols=["rid"])

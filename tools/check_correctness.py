@@ -2,7 +2,12 @@
 at sf0.01 and compare against oracle_sql() via DuckDB — row count, sorted
 column names, and order-insensitive values.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Runs at the DRIVER's parallelism (num_cpus=32) by default — the round-3 gate
+failure was a parallelism-dependent bug (empty batches at 32 CPUs inferring
+null-typed columns) that an 8-CPU mirror could never see. Override with
+CHECK_CPUS=8 to sweep lower parallelism too.
+
+Usage: [CHECK_CPUS=N] python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -74,8 +79,8 @@ def main():
 
     import ray
 
-    ray.init(address="local", num_cpus=8, include_dashboard=False,
-             logging_level="ERROR")
+    ray.init(address="local", num_cpus=int(os.environ.get("CHECK_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
