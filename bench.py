@@ -277,9 +277,18 @@ def scaling_weak() -> None:
     the hi level's total demand at a quarter of the box — the bandwidth-
     unsaturated regime, which is the fairer model of N→4N *nodes* (each
     cluster node keeps its own memory bus; only this sandbox makes all CPUs
-    share one)."""
+    share one).
+
+    Noise protocol (r03 verdict): every sample records its OWN steal_pct
+    window; samples with steal above BENCH_MAX_STEAL_PCT (default 3.0) are
+    flagged noisy and excluded from the efficiency summary (all samples are
+    still reported — the distribution, not just the best). BENCH_PIN=1
+    (default) pins each leg to cores 0..n-1 with taskset so the lo leg
+    can't smear across the whole box between scheduler ticks."""
     lo, hi = (int(c) for c in
               os.environ.get("BENCH_WEAK_CPUS", "8,32").split(","))
+    max_steal = float(os.environ.get("BENCH_MAX_STEAL_PCT", "3.0"))
+    pin = os.environ.get("BENCH_PIN", "1") == "1" and shutil.which("taskset")
     small_gen = dict(GEN, n_urls=GEN["n_urls"] // 4, n_events=GEN["n_events"] // 4,
                      n_shards=GEN["n_shards"] // 4)
     prep = (
@@ -292,11 +301,11 @@ def scaling_weak() -> None:
     )
     subprocess.run([sys.executable, "-c", prep], check=True,
                    cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
-    best: dict[int, float | None] = {lo: None, hi: None}
+    samples: dict[int, list[dict]] = {lo: [], hi: []}
     events = {lo: small_gen["n_events"] + small_gen["n_urls"],
               hi: GEN["n_events"] + GEN["n_urls"]}
     c0 = _cpu_times()
-    for _round in range(3):
+    for _round in range(int(os.environ.get("BENCH_WEAK_ROUNDS", "3"))):
         for ncpu, data_dir in ((lo, BENCH_DATA + "-q"), (hi, BENCH_DATA)):
             prog = (
                 "import ray, sys, time, shutil, os, json; sys.path.insert(0,'.'); "
@@ -306,7 +315,17 @@ def scaling_weak() -> None:
                 f"ctx.read_op_min_num_blocks = {ncpu * 2}; "
                 "ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED; "
                 "from dataxray.pipelines.replay import ReplayConfig, replay; "
-                "lake = '/tmp/dataxray_bench/wlake'; shutil.rmtree(lake, ignore_errors=True); "
+                "lake = '/tmp/dataxray_bench/wlake'; "
+                # warm-up replay first, same as run_headline: worker-pool
+                # spin-up + module imports are one-time costs a long-running
+                # ingest service never re-pays, and leaving them in the timed
+                # window biased the ratio (they cost similar WALL at every
+                # parallelism, so the bigger leg eats a bigger relative hit)
+                "shutil.rmtree(lake, ignore_errors=True); "
+                f"replay(os.path.join('{data_dir}', 'events'), lake, "
+                f"pages_path=os.path.join('{data_dir}', 'pages.parquet'), "
+                f"cfg=ReplayConfig(num_partitions={NUM_PARTITIONS})); "
+                "shutil.rmtree(lake, ignore_errors=True); "
                 "t0 = time.perf_counter(); "
                 f"replay(os.path.join('{data_dir}', 'events'), lake, "
                 f"pages_path=os.path.join('{data_dir}', 'pages.parquet'), "
@@ -314,22 +333,45 @@ def scaling_weak() -> None:
                 "print(json.dumps({'sec': time.perf_counter() - t0})); "
                 "shutil.rmtree(lake, ignore_errors=True); ray.shutdown()"
             )
-            out = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+            cmd = [sys.executable, "-c", prog]
+            if pin:
+                cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+            s0 = _cpu_times()
+            out = subprocess.run(cmd, capture_output=True,
                                  text=True, check=True,
                                  cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
             sec = json.loads(out.stdout.strip().splitlines()[-1])["sec"]
-            best[ncpu] = sec if best[ncpu] is None else min(best[ncpu], sec)
-    thr_lo = events[lo] / best[lo]
-    thr_hi = events[hi] / best[hi]
-    print(json.dumps({
+            box = _box_noise(s0, _cpu_times())
+            samples[ncpu].append({"sec": round(sec, 3), **box})
+            print(f"  {ncpu}cpu: {sec:.2f}s steal={box.get('steal_pct')}%",
+                  file=sys.stderr)
+
+    def clean_best(ss: list[dict]) -> float | None:
+        ok = [s["sec"] for s in ss if s.get("steal_pct", 0.0) <= max_steal]
+        return min(ok) if ok else None
+
+    best = {n: clean_best(samples[n]) for n in (lo, hi)}
+    result = {
         "metric": f"weak_scaling_efficiency_{lo}_to_{hi}",
-        f"sec_{lo}_quarter_data": round(best[lo], 3),
-        f"sec_{hi}_full_data": round(best[hi], 3),
-        f"events_per_sec_{lo}": round(thr_lo, 1),
-        f"events_per_sec_{hi}": round(thr_hi, 1),
-        "weak_scaling_efficiency": round(thr_hi / (4 * thr_lo), 3),
+        "samples": {str(n): samples[n] for n in (lo, hi)},
+        "max_steal_pct": max_steal,
+        "pinned": bool(pin),
         "box_window": _box_noise(c0, _cpu_times()),
-    }))
+    }
+    if best[lo] is not None and best[hi] is not None:
+        thr_lo, thr_hi = events[lo] / best[lo], events[hi] / best[hi]
+        result.update({
+            f"sec_{lo}_quarter_data": round(best[lo], 3),
+            f"sec_{hi}_full_data": round(best[hi], 3),
+            f"events_per_sec_{lo}": round(thr_lo, 1),
+            f"events_per_sec_{hi}": round(thr_hi, 1),
+            "weak_scaling_efficiency": round(thr_hi / (4 * thr_lo), 3),
+        })
+    else:
+        result["weak_scaling_efficiency"] = None
+        result["note"] = (f"no sample under steal {max_steal}% on one or both "
+                          "levels — window too noisy, rerun")
+    print(json.dumps(result))
 
 
 def headline_only() -> None:

@@ -222,7 +222,9 @@ def replay(
         if lake.num_partitions() != cfg.num_partitions:
             raise RuntimeError(
                 f"lake has {lake.num_partitions()} partitions, config asks "
-                f"{cfg.num_partitions}; repartitioning an existing lake is not supported"
+                f"{cfg.num_partitions}; re-bucket the live lake first with "
+                "Lake.evolve_partitions(new_p) (manifest-recorded epoch "
+                "boundary), or rewrite offline via maintenance.repartition_lake"
             )
 
     watermarks = lake.watermarks() if not bootstrap else {}

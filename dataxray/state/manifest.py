@@ -59,9 +59,62 @@ class Lake:
         # nodes reconstruct the same backend from the same string
         self.root = root
         self.fs, self.base = lakefs.resolve(root)
+        # generation + evolution epochs, cached per instance: Lake objects
+        # are short-lived (one per task) and the lake is single-writer, so a
+        # stale cache can only happen on the driver instance that itself
+        # called evolve_partitions — which invalidates it
+        self._gen: int | None = None
+        self._epochs: list[dict] | None = None
 
     def _p(self, *parts: str) -> str:
         return os.path.join(self.base, *parts)
+
+    # ---------- generations (online partition evolution) ----------
+    def generation(self) -> int:
+        if self._gen is None:
+            meta = self.meta()
+            self._gen = int(meta.get("generation", 0))
+            self._epochs = meta.get("partition_epochs", [])
+        return self._gen
+
+    def partition_epochs(self) -> list[dict]:
+        """Evolution history: [{generation, num_partitions, boundary_txn}].
+        Generation 0 (the layout at init) is implicit with boundary -inf."""
+        self.generation()
+        return self._epochs or []
+
+    def _invalidate(self) -> None:
+        self._gen = None
+        self._epochs = None
+
+    def _gen_for_txn(self, as_of_txn: int) -> int:
+        """Generation whose manifests record the snapshot at ``as_of_txn``:
+        the latest evolution whose boundary commit is <= as_of_txn (the
+        evolved layout's first snapshot IS the boundary snapshot)."""
+        g = 0
+        for e in self.partition_epochs():
+            if e["boundary_txn"] <= as_of_txn:
+                g = e["generation"]
+        return g
+
+    def _resolve_gen(self, gen: int | None, as_of_txn: int | None) -> int:
+        if gen is not None:
+            return gen
+        if as_of_txn is not None:
+            return self._gen_for_txn(as_of_txn)
+        return self.generation()
+
+    def _mdir(self, gen: int | None = None) -> str:
+        gen = self.generation() if gen is None else gen
+        return self._p(MANIFESTS) if gen == 0 \
+            else self._p(MANIFESTS, f"g{gen:04d}")
+
+    def _part_prefix(self, p: int, gen: int | None = None) -> str:
+        """Data directory for a partition — generation-scoped so an evolved
+        layout's part=3 (a different url bucket) never collides with the old
+        one, and old generations stay intact for time travel."""
+        gen = self.generation() if gen is None else gen
+        return f"part={p:05d}" if gen == 0 else f"g{gen:04d}-part={p:05d}"
 
     # ---------- meta ----------
     def exists(self) -> bool:
@@ -127,20 +180,20 @@ class Lake:
         self.fs.put_json(self._p(META), meta)
 
     # ---------- manifests ----------
-    def _manifest_path(self, p: int) -> str:
-        return self._p(MANIFESTS, f"part-{p:05d}.json")
+    def _manifest_path(self, p: int, gen: int | None = None) -> str:
+        return os.path.join(self._mdir(gen), f"part-{p:05d}.json")
 
     def history_enabled(self) -> bool:
         return bool(self.meta().get("history"))
 
-    def _history_dir(self, p: int) -> str:
-        return self._p(MANIFESTS, "history", f"part-{p:05d}")
+    def _history_dir(self, p: int, gen: int | None = None) -> str:
+        return os.path.join(self._mdir(gen), "history", f"part-{p:05d}")
 
-    def versions(self, p: int) -> list[dict]:
+    def versions(self, p: int, gen: int | None = None) -> list[dict]:
         """All retained committed manifest versions for a partition, oldest
         first. With history off this is just the current manifest."""
-        hdir = self._history_dir(p)
-        cur = self.manifest(p)
+        hdir = self._history_dir(p, gen)
+        cur = self.manifest(p, gen)
         if not self.fs.exists(hdir):
             return [cur] if cur is not None else []
         # trust only versions <= the committed current one: a crash between
@@ -155,15 +208,19 @@ class Lake:
                     out.append(v)
         return out
 
-    def manifest_as_of(self, p: int, as_of_txn: int) -> dict | None:
+    def manifest_as_of(self, p: int, as_of_txn: int,
+                       gen: int | None = None) -> dict | None:
         """Latest retained version with txn_hi <= as_of_txn (time-travel
         floor — snapshot granularity is the commit boundary, like any
         versioned lake). None if the partition had no commit by then; raises
-        if the snapshot has been vacuumed away."""
+        if the snapshot has been vacuumed away. ``gen`` defaults to the
+        generation active at ``as_of_txn`` (time travel across a partition
+        evolution resolves against the OLD layout's manifests)."""
+        gen = self._resolve_gen(gen, as_of_txn)
         # one versions() call: it re-lists and re-reads every history JSON,
         # so resolving it three times made each time-travel lookup O(3×
         # versions) filesystem reads — expensive on object stores
-        all_vs = self.versions(p)
+        all_vs = self.versions(p, gen)
         vs = [v for v in all_vs if v["txn_hi"] <= as_of_txn]
         if vs:
             return vs[-1]
@@ -176,16 +233,16 @@ class Lake:
                 )
         return None
 
-    def manifest(self, p: int) -> dict | None:
-        path = self._manifest_path(p)
+    def manifest(self, p: int, gen: int | None = None) -> dict | None:
+        path = self._manifest_path(p, gen)
         if not self.fs.exists(path):
             return None
         return self.fs.read_json(path)
 
-    def watermarks(self) -> dict[int, int]:
+    def watermarks(self, gen: int | None = None) -> dict[int, int]:
         """Per-partition committed txn_hi — the resumable checkpoint."""
         out: dict[int, int] = {}
-        mdir = self._p(MANIFESTS)
+        mdir = self._mdir(gen)
         for name in self.fs.list_names(mdir):
             if name.startswith("part-") and name.endswith(".json"):
                 m = self.fs.read_json(os.path.join(mdir, name))
@@ -212,17 +269,19 @@ class Lake:
             "num_bytes": table.nbytes,
         }
 
-    def partition_files(self, p: int, as_of_txn: int | None = None) -> list[str]:
-        m = (self.manifest(p) if as_of_txn is None
-             else self.manifest_as_of(p, as_of_txn))
+    def partition_files(self, p: int, as_of_txn: int | None = None,
+                        gen: int | None = None) -> list[str]:
+        m = (self.manifest(p, gen) if as_of_txn is None
+             else self.manifest_as_of(p, as_of_txn, gen))
         if m is None:
             return []
         return [self._p(f) for f in m["files"]]
 
-    def read_state_raw(self, p: int, as_of_txn: int | None = None) -> pa.Table | None:
+    def read_state_raw(self, p: int, as_of_txn: int | None = None,
+                       gen: int | None = None) -> pa.Table | None:
         """Concat of base + delta files — may contain superseded rows and
         tombstones; LWW lineage (txn_id, seq) resolves them."""
-        files = self.partition_files(p, as_of_txn)
+        files = self.partition_files(p, as_of_txn, gen)
         if not files:
             return None
         return pa.concat_tables(
@@ -232,14 +291,17 @@ class Lake:
     # kept as the merge-path API: raw is correct input for an LWW merge
     read_state = read_state_raw
 
-    def resolve(self, p: int, as_of_txn: int | None = None) -> pa.Table | None:
+    def resolve(self, p: int, as_of_txn: int | None = None,
+                gen: int | None = None) -> pa.Table | None:
         """Materialized view of a partition: LWW over base+deltas, tombstones
         dropped, op column removed (delta-file resolution). ``as_of_txn``
         resolves the snapshot at a retained historical commit instead
-        (requires init(history=True) for snapshots older than the current)."""
+        (requires init(history=True) for snapshots older than the current);
+        across a partition evolution it resolves in the generation active at
+        that txn (where ``p`` means the OLD layout's bucket)."""
         from ..stages.merge import resolve_state
 
-        raw = self.read_state_raw(p, as_of_txn)
+        raw = self.read_state_raw(p, as_of_txn, gen)
         if raw is None:
             return None
         return resolve_state(raw)
@@ -274,7 +336,7 @@ class Lake:
             for s in staged:  # replayed label → drop the duplicate output
                 self.fs.delete_file(s)
             return "skipped"
-        final_dir = self._p(f"part={p:05d}", f"txn={txn_hi:010d}")
+        final_dir = self._p(self._part_prefix(p), f"txn={txn_hi:010d}")
         self.fs.makedirs(final_dir)
         rel_files = []
         for s in staged:
@@ -326,7 +388,7 @@ class Lake:
 
     def _gc_partition(self, p: int, live_rel_files: list[str]) -> int:
         """Drop txn dirs no longer referenced — best-effort; returns count."""
-        pdir = self._p(f"part={p:05d}")
+        pdir = self._p(self._part_prefix(p))
         live_dirs = {os.path.basename(os.path.dirname(f)) for f in live_rel_files}
         removed = 0
         for name in self.fs.list_names(pdir):
@@ -420,6 +482,151 @@ class Lake:
     def cleanup_staging(self, run_id: str) -> None:
         self.fs.delete_tree(self._p(STAGING, run_id))
 
+    # ---------- online partition evolution ----------
+    def evolve_partitions(self, new_num_partitions: int) -> dict:
+        """Re-bucket a LIVE lake to a new partition count, in place, with a
+        manifest-recorded epoch boundary — no path swap, no downtime window
+        for readers (reference analog: per-job split re-planning,
+        plugin-rdbms-util/.../ReaderSplitUtil.java, made durable).
+
+        Protocol (single atomic commit point, object-store safe):
+          1. every current partition's resolved state is re-hashed into
+             ``new_num_partitions`` buckets (distributed when Ray is up) and
+             written under generation-scoped data dirs
+             (``g<k+1>-part=…/txn=<boundary>/``) with fresh manifests in
+             ``_manifests/g<k+1>/`` — all INVISIBLE while _meta.json still
+             says generation k;
+          2. one _meta.json PUT flips {generation, num_partitions} and
+             appends the epoch {generation, num_partitions, boundary_txn}.
+        A crash before the flip leaves orphan g-dirs (garbage, not
+        corruption — re-running overwrites the manifests); after the flip
+        the evolution is durable. Replays before/after the boundary route
+        correctly: the WAL watermark carries over (boundary = min committed
+        txn_hi, same rule as offline repartition_lake — a lagging partition
+        must not have its unapplied events skipped), and every new partition
+        gets a manifest at the boundary so the uniform-watermark invariant
+        holds. Time travel to txns before the boundary resolves against the
+        old generation's retained manifests (history lakes); with history
+        off the old generation's files are GC'd after the flip.
+
+        Cost: one full-lake rewrite (O(lake bytes), distributed) — a
+        one-time reshape; steady-state epoch cost is unchanged."""
+        import uuid as _uuid
+
+        if new_num_partitions < 1:
+            raise ValueError("new_num_partitions must be >= 1")
+        self._invalidate()
+        meta = self.meta()
+        old_p = meta["num_partitions"]
+        old_gen = int(meta.get("generation", 0))
+        new_gen = old_gen + 1
+        wm = self.watermarks(old_gen)
+        boundary = min(wm.values(), default=0)
+        run_id = f"evolve-{_uuid.uuid4().hex[:8]}"
+        root = self.root
+
+        nret = max(new_num_partitions, 2)  # Ray unpacks only num_returns>=2
+
+        def split_one(p: int) -> tuple:
+            from ..hashing import partition_of
+            from ..stages.exchange import split_by_part
+            from ..schema import PART_COL
+
+            t = Lake(root).resolve(p, gen=old_gen)
+            if t is None or len(t) == 0:
+                return tuple([None] * nret)
+            codes = partition_of(t["url"], new_num_partitions)
+            t = t.append_column(PART_COL, pa.array(codes))
+            out = list(split_by_part(t, new_num_partitions))
+            while len(out) < nret:
+                out.append(None)
+            return tuple(out)
+
+        def write_one(q: int, *pieces) -> dict | None:
+            lk = Lake(root)
+            parts = [t for t in pieces if t is not None and len(t)]
+            if not parts:
+                return None
+            merged = pa.concat_tables(parts, promote_options="permissive")
+            return lk.write_staged(run_id, q, merged)
+
+        use_ray = False
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except Exception:  # pragma: no cover
+            pass
+        src_parts = sorted(wm)
+        if use_ray:
+            import ray
+
+            rsplit = ray.remote(num_cpus=1, num_returns=nret)(split_one)
+            rwrite = ray.remote(num_cpus=1)(write_one)
+            outs = {p: rsplit.remote(p) for p in src_parts}
+            staged = ray.get([
+                rwrite.remote(q, *[outs[p][q] for p in src_parts])
+                for q in range(new_num_partitions)])
+        else:
+            split = {p: split_one(p) for p in src_parts}
+            staged = [write_one(q, *[split[p][q] for p in src_parts])
+                      for q in range(new_num_partitions)]
+
+        # finalize + write new-generation manifests (invisible until flip)
+        mdir = self._mdir(new_gen)
+        self.fs.makedirs(mdir)
+        rows_total = 0
+        for q in range(new_num_partitions):
+            s = staged[q]
+            rel_files: list[str] = []
+            if s is not None:
+                final_dir = self._p(self._part_prefix(q, new_gen),
+                                    f"txn={boundary:010d}")
+                self.fs.makedirs(final_dir)
+                for sf in s["staged"]:
+                    dest = os.path.join(final_dir, os.path.basename(sf))
+                    self.fs.finalize(sf, dest)
+                    rel_files.append(os.path.relpath(dest, self.base))
+            man = {
+                "partition": q,
+                "txn_hi": boundary,
+                "files": rel_files,
+                "n_deltas": 0,
+                "row_count": s["row_count"] if s else 0,
+                "num_bytes": s["num_bytes"] if s else 0,
+                "run_id": run_id,
+                "version": 0,
+                "mode": "evolve",
+            }
+            rows_total += man["row_count"]
+            if meta.get("history"):
+                hdir = self._history_dir(q, new_gen)
+                self.fs.makedirs(hdir)
+                self.fs.put_json(os.path.join(hdir, "v-000000.json"), man)
+            self.fs.put_json(self._manifest_path(q, new_gen), man)
+        self.cleanup_staging(run_id)
+
+        # the atomic flip
+        meta["num_partitions"] = new_num_partitions
+        meta["generation"] = new_gen
+        meta.setdefault("partition_epochs", []).append({
+            "generation": new_gen,
+            "num_partitions": new_num_partitions,
+            "prev_num_partitions": old_p,
+            "boundary_txn": boundary,
+        })
+        self.fs.put_json(self._p(META), meta)
+        self._invalidate()
+
+        if not meta.get("history"):
+            # old generation is unreachable (no time travel) — GC it
+            for p in src_parts:
+                self.fs.delete_file(self._manifest_path(p, old_gen))
+                self.fs.delete_tree(self._history_dir(p, old_gen))
+                self.fs.delete_tree(self._p(self._part_prefix(p, old_gen)))
+        return {"generation": new_gen, "num_partitions": new_num_partitions,
+                "boundary_txn": boundary, "rows": rows_total}
+
     # ---------- reads ----------
     def all_files(self) -> list[str]:
         files: list[str] = []
@@ -432,8 +639,9 @@ class Lake:
         ``as_of_txn`` time-travels to the latest retained commit with
         txn_hi <= as_of_txn per partition (requires init(history=True) for
         snapshots older than the current one)."""
-        parts = [t for p in sorted(self.watermarks())
-                 if (t := self.resolve(p, as_of_txn)) is not None]
+        gen = self._resolve_gen(None, as_of_txn)
+        parts = [t for p in sorted(self.watermarks(gen))
+                 if (t := self.resolve(p, as_of_txn, gen)) is not None]
         if not parts:
             return pa.table({})
         return pa.concat_tables(parts, promote_options="permissive")
@@ -447,9 +655,18 @@ class Lake:
         < the first commit diffs against the empty snapshot (all inserts)."""
         from ..stages.merge import diff_snapshots
 
-        old = self.resolve(p, as_of_txn=since_txn)
-        new = self.resolve(p) if until_txn is None \
-            else self.resolve(p, as_of_txn=until_txn)
+        cur = self.generation()
+        if self._gen_for_txn(since_txn) != cur or (
+                until_txn is not None and self._gen_for_txn(until_txn) != cur):
+            # across an evolution boundary partition p means a DIFFERENT url
+            # bucket on each side — a per-partition diff would be nonsense
+            raise ValueError(
+                "change feed across a partition-evolution boundary is not "
+                "supported; use since_txn >= the evolution's boundary_txn "
+                f"(epochs: {self.partition_epochs()})")
+        old = self.resolve(p, as_of_txn=since_txn, gen=cur)
+        new = self.resolve(p, gen=cur) if until_txn is None \
+            else self.resolve(p, as_of_txn=until_txn, gen=cur)
         return diff_snapshots(old, new)
 
     def changes(self, since_txn: int, until_txn: int | None = None):
@@ -493,9 +710,10 @@ class Lake:
         from .predicate import normalize
 
         pred = normalize(predicate)
-        wm = self.watermarks()
-        mans = {p: (self.manifest(p) if as_of_txn is None
-                    else self.manifest_as_of(p, as_of_txn)) for p in wm}
+        gen = self._resolve_gen(None, as_of_txn)
+        wm = self.watermarks(gen)
+        mans = {p: (self.manifest(p, gen) if as_of_txn is None
+                    else self.manifest_as_of(p, as_of_txn, gen)) for p in wm}
         mans = {p: m for p, m in mans.items() if m is not None}
         delta_parts = sorted(
             p for p, m in mans.items() if m.get("n_deltas", 0) > 0)

@@ -36,5 +36,17 @@ def run(n, path, reps):
 if __name__ == "__main__":
     shard = sorted(glob.glob("/tmp/dataxray_bench/data/events/*.parquet"))[0]
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 6
-    out = [run(n, shard, reps) for n in (1, 8, 32)]
+    # optional: --n 2,8,32 picks process counts; --pin confines each level to
+    # cores 0..n-1 (the same affinity protocol as bench.py --scaling-weak,
+    # so the ideal ceiling is measured under the engine's own conditions)
+    ns = (2, 8, 32) if "--n" not in sys.argv else tuple(
+        int(x) for x in sys.argv[sys.argv.index("--n") + 1].split(","))
+    pin = "--pin" in sys.argv
+    out = []
+    for n in ns:
+        if pin and hasattr(os, "sched_setaffinity"):
+            os.sched_setaffinity(0, set(range(n)))  # children inherit
+        out.append(run(n, shard, reps))
+    if pin and hasattr(os, "sched_setaffinity"):
+        os.sched_setaffinity(0, set(range(os.cpu_count() or 1)))
     print(json.dumps(out))
