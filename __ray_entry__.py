@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_incremental": R.cdc_incremental,
         "cdc_time_travel": R.cdc_time_travel,
         "cdc_change_feed": R.cdc_change_feed,
+        "cdc_incremental_agg": R.cdc_incremental_agg,
         "lake_predicate_scan": R.lake_predicate_scan,
         # --- dx_* transform surface ---
         "dx_substr": R.dx_substr_part,
@@ -139,6 +140,25 @@ FROM new n FULL OUTER JOIN old o ON n.url = o.url
 WHERE o.url IS NULL OR n.url IS NULL OR n.txn_id <> o.txn_id
 """
 
+# incremental derivation oracle: the Ray side maintains the aggregate from
+# the epoch-1 snapshot + the pre-image change feed; the oracle recomputes it
+# from scratch over the FINAL LWW snapshot — equality proves the algebra
+_INC_AGG_SQL = """
+WITH ev AS (
+  SELECT 'https://user' || CAST(user_id AS VARCHAR) AS url,
+         event_id AS txn_id, props AS text, event_type AS lang, event_type
+  FROM events
+), new AS (
+  SELECT url, text, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY txn_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(COALESCE(length(text), 0)) AS sum_len
+FROM new GROUP BY lang ORDER BY lang
+"""
+
 _N_TOKENS = (
     "CASE WHEN trim(text) = '' THEN 0 "
     "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
@@ -199,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental": _CDC_SQL,
         "cdc_time_travel": _TT_SQL,
         "cdc_change_feed": _CDF_SQL,
+        "cdc_incremental_agg": _INC_AGG_SQL,
         "lake_predicate_scan": (
             _CDC_SQL + " AND url >= 'https://user2' AND url < 'https://user7'"
         ),

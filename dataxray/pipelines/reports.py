@@ -232,6 +232,21 @@ def cdc_change_feed(sf_dir: str) -> pa.Table:
     ).sort_by("url")
 
 
+def cdc_incremental_agg(sf_dir: str) -> pa.Table:
+    """Change-feed-driven incremental derivation (pipelines.derive): the
+    per-lang (n_docs, sum_len) aggregate is computed ONCE at the epoch-1
+    snapshot, then maintained by applying only the pre-image change feed —
+    unchanged data is never re-read. The oracle recomputes the aggregate
+    from scratch over the final LWW snapshot: equality proves
+    incremental == full."""
+    from .derive import incremental_group_stats
+
+    lake_dir, thr = _history_lake(sf_dir)
+    out = incremental_group_stats(Lake(lake_dir), since_txn=thr,
+                                  group_col="lang", text_col="text")
+    return out
+
+
 def lake_predicate_scan(sf_dir: str) -> pa.Table:
     """Delta-aware predicate pushdown (state/predicate.py): replay the WAL
     in two delta epochs (so the lake holds delta-bearing partitions), then

@@ -177,13 +177,19 @@ CHANGE_COL = "_change_type"
 
 
 def diff_snapshots(old: pa.Table | None, new: pa.Table | None,
-                   key: str = "url") -> pa.Table:
+                   key: str = "url", pre_images: bool = False) -> pa.Table:
     """Change rows between two resolved snapshots of the same partition —
     the change-feed kernel (CDF). ``_change_type`` ∈ {insert, update,
     delete}; insert/update rows carry the NEW row's payload, delete rows the
     OLD row's. A key counts as updated exactly when its LWW winner's lineage
     (txn_id, seq) moved — payload equality is never compared (LWW semantics:
     a re-won key IS a change even if the payload round-tripped).
+
+    ``pre_images=True`` emits each update TWICE — ``update_preimage`` with
+    the old payload and ``update_postimage`` with the new (Delta-CDF-style)
+    — which is what makes the feed ALGEBRAICALLY consumable: a downstream
+    sum/count maintains itself by adding post-image/insert rows and
+    subtracting pre-image/delete rows, no re-read of unchanged data.
 
     Vectorized: two pc.index_in membership probes + lineage compares; no
     per-row Python. Snapshots are resolved tables (tombstones already
@@ -215,7 +221,13 @@ def diff_snapshots(old: pa.Table | None, new: pa.Table | None,
         pc.not_equal(matched_new["seq"].combine_chunks(),
                      old_match["seq"].combine_chunks()),
     )
-    updates = _tag(matched_new.filter(moved), "update")
+    if pre_images:
+        updates = pa.concat_tables(
+            [_tag(old_match.filter(moved), "update_preimage"),
+             _tag(matched_new.filter(moved), "update_postimage")],
+            promote_options="permissive")
+    else:
+        updates = _tag(matched_new.filter(moved), "update")
     gone = pc.is_null(pc.index_in(old_keys, value_set=new_keys))
     deletes = _tag(old.filter(gone), "delete")
     parts = [t for t in (inserts, updates, deletes) if len(t)]

@@ -83,6 +83,33 @@ class MinHashIndex:
     def indexed_rows(self) -> int:
         return sum(e["rows"] for e in self.meta()["epochs"].values())
 
+    # ---------- source-version sync (sidecar-atomicity substitute) ----------
+    # The index and the lake it derives from commit in DIFFERENT stores, so
+    # a crash between a lake commit and the matching ingest cannot be made
+    # atomic — instead every epoch RECORDS the source version token it was
+    # built against (Lake.version_token() / ivf_index.table_version()), and
+    # meta carries the latest. A consumer checks sync_status()/require_synced
+    # before trusting the index; healing is just ingesting the missed docs
+    # (ingest is itself crash-atomic: its _meta PUT is the commit point, so
+    # a torn ingest leaves unlisted garbage files, never a corrupt index).
+
+    def indexed_version(self) -> str | None:
+        return self.meta().get("indexed_version")
+
+    def sync_status(self, expected_version: str) -> dict:
+        got = self.indexed_version()
+        return {"indexed_version": got, "expected_version": expected_version,
+                "in_sync": got == expected_version}
+
+    def require_synced(self, expected_version: str) -> None:
+        s = self.sync_status(expected_version)
+        if not s["in_sync"]:
+            raise RuntimeError(
+                f"MinHash index at {self.root} was built against source "
+                f"version {s['indexed_version']!r} but the source is now "
+                f"{expected_version!r} — ingest the missed documents (or "
+                "rebuild) before querying")
+
     def _live_files(self, buckets: set[int] | None = None) -> list[str]:
         """Committed band files, pruned to the touched buckets."""
         out = []
@@ -95,7 +122,8 @@ class MinHashIndex:
     # ---------- ingest ----------
     def ingest(self, new_ds, corpus_ds, id_col: str = "doc_id",
                threshold: float = 0.7, label: str | None = None,
-               max_bucket: int = 256, join_partitions: int = 8):
+               max_bucket: int = 256, join_partitions: int = 8,
+               source_version: str | None = None):
         """Index ``new_ds`` docs and return the VERIFIED near-dup pairs that
         involve at least one new doc (new×new ∪ new×indexed). ``corpus_ds``
         must contain the text of both new and already-indexed docs (the lake
@@ -138,7 +166,10 @@ class MinHashIndex:
         new_tbl = pa.concat_tables(ray.get(new_bands.to_arrow_refs()))
         if len(new_tbl) == 0:  # empty epoch: commit the label, no pairs
             meta = self.meta()
-            meta["epochs"][label] = {"rows": 0, "files": []}
+            meta["epochs"][label] = {"rows": 0, "files": [],
+                                     "source_version": source_version}
+            if source_version is not None:
+                meta["indexed_version"] = source_version
             self.fs.put_json(self._p(META), meta)
             return ray.data.from_arrow(pa.table(
                 {"id_a": pa.array([], pa.int64()),
@@ -219,6 +250,9 @@ class MinHashIndex:
             "rows": int(len(new_tbl)),
             "files": [{"bucket": int(w["bucket"]), "path": w["path"]}
                       for w in written],
+            "source_version": source_version,
         }
+        if source_version is not None:
+            meta["indexed_version"] = source_version
         self.fs.put_json(self._p(META), meta)
         return verified

@@ -161,6 +161,16 @@ class Lake:
     def event_schema(self) -> pa.Schema:
         return _schema_from_b64(self.meta()["event_schema"])
 
+    def version_token(self) -> str:
+        """Compact identity of the current committed snapshot — the staleness
+        key sidecar indexes (state.dedup_index, state.ivf_index) record per
+        epoch so an index that missed a lake commit is DETECTABLE instead of
+        silently behind (sidecars version independently of the lake; the
+        token closes the gap without a cross-store atomic commit, which
+        object stores cannot give us)."""
+        wm = self.watermarks()
+        return f"g{self.generation()}:txn{max(wm.values(), default=-1)}"
+
     def validate_partitioner(self) -> None:
         """Resume safety: a changed hash implementation would silently route
         events to the wrong partitions — fail loudly instead."""
@@ -648,7 +658,8 @@ class Lake:
 
     # ---------- change feed ----------
     def partition_changes(self, p: int, since_txn: int,
-                          until_txn: int | None = None) -> pa.Table:
+                          until_txn: int | None = None,
+                          pre_images: bool = False) -> pa.Table:
         """CDF for one partition: diff of the resolved snapshots as of
         ``since_txn`` and ``until_txn`` (None = current). ``_change_type`` ∈
         {insert, update, delete}; see stages.merge.diff_snapshots. since_txn
@@ -667,9 +678,10 @@ class Lake:
         old = self.resolve(p, as_of_txn=since_txn, gen=cur)
         new = self.resolve(p, gen=cur) if until_txn is None \
             else self.resolve(p, as_of_txn=until_txn, gen=cur)
-        return diff_snapshots(old, new)
+        return diff_snapshots(old, new, pre_images=pre_images)
 
-    def changes(self, since_txn: int, until_txn: int | None = None):
+    def changes(self, since_txn: int, until_txn: int | None = None,
+                pre_images: bool = False):
         """Distributed change feed: one remote diff task per partition (the
         diff is partition-local by construction — both snapshots hash on the
         same key — so no shuffle), returned as a Ray Dataset."""
@@ -680,7 +692,8 @@ class Lake:
 
         @ray.remote(num_cpus=1)
         def _diff(p: int):
-            return Lake(root).partition_changes(p, since_txn, until_txn)
+            return Lake(root).partition_changes(p, since_txn, until_txn,
+                                                pre_images=pre_images)
 
         parts = sorted(self.watermarks())
         if not parts:

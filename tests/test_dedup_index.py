@@ -164,3 +164,80 @@ def test_ngram_capped_bucket_raises():
     out = ngram_jaccard_pairs(ray.data.from_arrow(docs), threshold=0.2,
                               max_bucket=1024)
     assert out.count() > 0
+
+
+def test_source_version_sync_detects_and_heals(tmp_path, monkeypatch):
+    """Sidecar-atomicity contract: the index records the source version each
+    epoch was built against. A crash between a source commit and the
+    matching ingest leaves a DETECTABLE (require_synced raises) and
+    SELF-HEALING (ingest the missed docs) state; a crash INSIDE ingest
+    (before its _meta commit point) leaves the index untouched and the
+    retried label completes."""
+    import ray.data
+
+    from dataxray.functions.dedup import minhash_dedup_pairs
+    from dataxray.state import lakefs
+
+    docs = _docs()
+    idx = MinHashIndex(str(tmp_path / "idx")).create()
+    e1 = docs.filter(pa.compute.less(docs["doc_id"], 3))
+    e2 = docs.filter(pa.compute.greater_equal(docs["doc_id"], 3))
+
+    p1 = _pairs_set(idx.ingest(ray.data.from_arrow(e1),
+                               ray.data.from_arrow(docs), threshold=0.5,
+                               label="e1", source_version="v1"))
+    assert idx.sync_status("v1")["in_sync"]
+
+    # source advances to v2; the ingest that should follow CRASHES before
+    # the index's commit point (its final _meta.json PUT)
+    real_put = lakefs.LocalLakeFS.put_json
+
+    def crashing_put(self, path, obj):
+        import os as _os
+
+        if _os.path.basename(path) == "_meta.json" and "epochs" in obj \
+                and "e2" in obj["epochs"]:
+            raise RuntimeError("simulated crash inside ingest")
+        return real_put(self, path, obj)
+
+    monkeypatch.setattr(lakefs.LocalLakeFS, "put_json", crashing_put)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.ingest(ray.data.from_arrow(e2), ray.data.from_arrow(docs),
+                   threshold=0.5, label="e2", source_version="v2")
+    monkeypatch.setattr(lakefs.LocalLakeFS, "put_json", real_put)
+
+    # detectable: the index self-reports it is behind v2
+    assert not idx.sync_status("v2")["in_sync"]
+    with pytest.raises(RuntimeError, match="v2"):
+        idx.require_synced("v2")
+    assert "e2" not in idx.meta()["epochs"]  # torn ingest left no epoch
+
+    # self-healing: re-ingest the missed epoch, then everything lines up
+    p2 = _pairs_set(idx.ingest(ray.data.from_arrow(e2),
+                               ray.data.from_arrow(docs), threshold=0.5,
+                               label="e2", source_version="v2"))
+    idx.require_synced("v2")
+    full = _pairs_set(minhash_dedup_pairs(
+        ray.data.from_arrow(docs), threshold=0.5))
+    assert p1 | p2 == full
+
+
+def test_lake_version_token_moves_with_commits(tmp_path):
+    from dataxray.gen import GenConfig, write_dataset
+    from dataxray.pipelines.replay import ReplayConfig, replay
+    from dataxray.state.manifest import Lake
+
+    cfg = GenConfig(n_urls=80, n_events=400, n_shards=2, html_mean=32)
+    d = str(tmp_path / "data")
+    write_dataset(d, cfg, parallel=False)
+    lake = str(tmp_path / "lake")
+    import os as _os
+
+    replay(_os.path.join(d, "events"), lake,
+           pages_path=_os.path.join(d, "pages.parquet"),
+           cfg=ReplayConfig(num_partitions=4))
+    t1 = Lake(lake).version_token()
+    assert t1.startswith("g0:txn")
+    Lake(lake).evolve_partitions(8)
+    t2 = Lake(lake).version_token()
+    assert t2 != t1 and t2.startswith("g1:")

@@ -193,3 +193,49 @@ def test_history_off_rejects_old_snapshots(data_dir, pages, shards, tmp_path, sc
                   _oracle_prefix(pages, shards, CFG.n_shards))
     with pytest.raises(ValueError, match="vacuumed"):
         L.read_all(as_of_txn=bounds[0])
+
+
+def test_incremental_derivation_equals_full(tmp_path, scheme):
+    """Change-feed-driven aggregate maintenance (pipelines.derive): base agg
+    at the epoch-1 snapshot + pre-image CDF deltas == full recompute over
+    the final snapshot — across inserts, updates AND deletes."""
+    import os
+    import shutil
+
+    from dataxray.gen import GenConfig, write_dataset
+    from dataxray.pipelines.derive import grouped_count_sum, incremental_group_stats
+    from dataxray.pipelines.replay import ReplayConfig, replay
+    from dataxray.state.manifest import Lake
+
+    cfg = GenConfig(n_urls=200, n_events=2_000, n_shards=4, html_mean=32,
+                    zipf_s=1.2)
+    d = str(tmp_path / "data")
+    write_dataset(d, cfg, parallel=False)
+    lake = f"{scheme}{tmp_path / 'lake'}"
+    epochs = str(tmp_path / "epochs")
+    os.makedirs(epochs)
+    files = sorted(os.listdir(os.path.join(d, "events")))
+    rcfg = ReplayConfig(num_partitions=8, history=True)
+    for f in files[:2]:
+        shutil.copy(os.path.join(d, "events", f), os.path.join(epochs, f))
+    replay(epochs, lake, pages_path=os.path.join(d, "pages.parquet"), cfg=rcfg)
+    thr = min(Lake(lake).watermarks().values())
+    for f in files[2:]:
+        shutil.copy(os.path.join(d, "events", f), os.path.join(epochs, f))
+    replay(epochs, lake, cfg=rcfg)
+
+    lk = Lake(lake)
+    # the feed really contains all four change types (pre-image CDF)
+    import ray
+
+    feed = pa.concat_tables(
+        [t for t in ray.get(lk.changes(since_txn=thr, pre_images=True)
+                            .to_arrow_refs()) if len(t)],
+        promote_options="permissive")
+    kinds = set(feed["_change_type"].to_pylist())
+    assert {"update_preimage", "update_postimage"} <= kinds
+
+    inc = incremental_group_stats(lk, since_txn=thr)
+    full = grouped_count_sum(lk.dataset(columns=["lang", "text"])) \
+        .sort_by("lang")
+    assert inc.sort_by("lang").to_pydict() == full.to_pydict()
