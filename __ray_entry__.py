@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_topk_orders": R.global_topk_orders,
         "asof_prev_event": R.asof_prev_event,
         "interval_join_windows": R.interval_join_windows,
+        "interval_join_windows_tb": R.interval_join_windows_tb,
         # --- training-data ops (SQL-checkable) ---
         "dedup_exact_groups": R.dedup_exact_groups,
         "token_stats": R.token_stats,
@@ -372,6 +373,14 @@ def oracle_sql() -> dict[str, str]:
             "ON a.user_id = b.user_id AND b.ts < a.ts"
         ),
         "interval_join_windows": (
+            "SELECT a.event_id, b.event_id AS window_id "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND b.value > 100 AND a.ts >= b.ts "
+            "AND a.ts < b.ts + INTERVAL 60 MINUTE "
+            "AND a.event_id <> b.event_id"
+        ),
+        # same oracle, different distribution strategy (time-bucketed)
+        "interval_join_windows_tb": (
             "SELECT a.event_id, b.event_id AS window_id "
             "FROM events a JOIN events b ON a.user_id = b.user_id "
             "AND b.value > 100 AND a.ts >= b.ts "

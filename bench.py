@@ -394,6 +394,7 @@ def headline_only() -> None:
     print(json.dumps({
         "metric": "cdc_full_replay_sec", "value": headline["sec"], "unit": "sec",
         "events_per_sec": headline["events_per_sec"], "num_cpus": NUM_CPUS,
+        "headline": headline,  # incl. incremental leg (A/B tooling reads it)
         "box": box,
     }))
 

@@ -380,20 +380,46 @@ class PrefixExplode:
     """Emit each doc's PREFIX shingle hashes as (sh_key, doc_id) index rows.
 
     Prefix filtering (PPJoin family, Bayardo et al. WWW'07 / Chaudhuri et
-    al. ICDE'06): under ANY fixed total order on shingles — here the 64-bit
-    hash value — two sets with Jaccard ≥ t must share an element within each
-    set's first ``|d| - ceil(t*|d|) + 1`` elements. Indexing only prefixes
-    keeps the exploded index at ~(1-t) of total shingle volume while keeping
-    candidate generation EXACT (a superset of all true pairs). Ordering by
-    global shingle frequency instead of hash value would shrink hot buckets
-    further (rare shingles first); hash order needs no frequency pass and is
-    what we ship — the bucket cap logs any loss."""
+    al. ICDE'06): under ANY fixed total order on shingles, two sets with
+    Jaccard ≥ t must share an element within each set's first
+    ``|d| - ceil(t*|d|) + 1`` elements. Indexing only prefixes keeps the
+    exploded index at ~(1-t) of total shingle volume while keeping candidate
+    generation EXACT (a superset of all true pairs).
+
+    Two total orders, both exact:
+      * hash order (df_ref=None) — no preparation pass;
+      * frequency order — ascending (global document frequency, hash):
+        RARE shingles land in prefixes, so shared-by-many shingles (the hot
+        buckets) are indexed by far fewer docs. ``df_ref`` is a ray.put of
+        (sorted hash array, df array) holding ONLY df ≥ 2 shingles — a
+        shingle absent from it has df 1 (it can't produce a pair at all),
+        so the broadcast is bounded by the SHARED-shingle vocabulary, not
+        the corpus vocabulary; the order (df, hash) is total and computed
+        identically on every node, which is all the theorem needs."""
 
     def __init__(self, threshold: float, shingle_k: int = 3,
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", df_ref=None):
         self.t = threshold
         self.k = shingle_k
         self.id_col = id_col
+        self.df_ref = df_ref
+        self._df = None  # resolved once per worker
+
+    def _order(self, h: np.ndarray) -> np.ndarray:
+        if self.df_ref is None:
+            return h  # shingles64 output is already hash-sorted
+        if self._df is None:
+            import ray
+
+            self._df = ray.get(self.df_ref)
+        dfh, dfc = self._df
+        pos = np.searchsorted(dfh, h)
+        pos[pos >= len(dfh)] = max(len(dfh) - 1, 0)
+        df = np.ones(len(h), dtype=np.int64)
+        if len(dfh):
+            hit = dfh[pos] == h
+            df[hit] = dfc[pos[hit]]
+        return h[np.lexsort((h, df))]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import math
@@ -406,7 +432,7 @@ class PrefixExplode:
             if len(h) == 0:
                 continue  # shingle-less docs join nothing (oracle: J is 0/0)
             p = len(h) - math.ceil(self.t * len(h)) + 1
-            keys.append(h[:p])
+            keys.append(self._order(h)[:p])
             ids.append(np.full(p, did, dtype=np.int64))
         if not keys:
             return pa.table({"sh_key": pa.array([], pa.int64()),
@@ -417,20 +443,59 @@ class PrefixExplode:
         })
 
 
+def shared_shingle_df(ds, shingle_k: int = 3):
+    """One cheap counting pass → ray.put((sorted hashes, df)) of shingles
+    with document frequency ≥ 2. Per-batch C-speed partials (each doc's
+    shingles are distinct, so a concat + value_counts IS the df) + tree
+    fan-in; only (hash, count) pairs shuffle, and only df ≥ 2 rows — the
+    potential bucket keys — reach the driver."""
+    import ray
+
+    from ..stages.hashagg import tree_aggregate
+
+    k = shingle_k
+
+    def partial(t: pa.Table) -> pa.Table:
+        hs = [shingles64(x or "", k) for x in t["text"].to_pylist()]
+        flat = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        tb = pa.table({"sh": pa.array(flat.view(np.int64)),
+                       "_df": pa.array(np.ones(len(flat), dtype=np.int64))})
+        g = pa.TableGroupBy(tb, ["sh"]).aggregate([("_df", "sum")])
+        return g.rename_columns(["sh", "_df"])
+
+    out = tree_aggregate(ds, ["sh"], partial, {"_df": "sum"})
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    tbl = tbl.filter(pc.greater_equal(tbl["_df"], 2)).sort_by("sh")
+    hashes = tbl["sh"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64).view(np.uint64)
+    counts = tbl["_df"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return ray.put((hashes, counts))
+
+
 def ngram_jaccard_pairs(ds, threshold: float = 0.7, shingle_k: int = 3,
                         id_col: str = "doc_id", max_bucket: int = 1024,
-                        join_partitions: int = 8):
+                        join_partitions: int = 8, order: str = "frequency"):
     """EXACT word-n-gram Jaccard similarity join → all pairs with J ≥ t.
 
     Same shuffle discipline as minhash_dedup_pairs but with a deterministic
     guarantee instead of probabilistic recall: candidates come from an
     inverted index over prefix shingles (see PrefixExplode — any true pair
     provably shares a prefix bucket), singleton buckets are dropped by a
-    C-speed tree count, pair expansion is capped per bucket (skew guard,
-    drops logged — the one place exactness can be traded, loudly), and the
+    C-speed tree count, pair expansion is capped per bucket (a capped bucket
+    now RAISES on the driver — exactness is never traded silently), and the
     final exact set-Jaccard verification re-tokenizes candidate docs only.
-    Only prefix index rows (~(1-t) × shingle count) ever shuffle."""
-    pref = ds.map_batches(PrefixExplode(threshold, shingle_k, id_col),
+    Only prefix index rows (~(1-t) × shingle count) ever shuffle.
+
+    ``order`` picks the prefix total order: "frequency" (default; one extra
+    counting pass, rare-shingles-first — hot buckets shrink by the prefix
+    membership of every common shingle) or "hash" (no counting pass)."""
+    if order not in ("frequency", "hash"):
+        raise ValueError(f"unknown prefix order {order!r}")
+    # materialize: consumed up to 3× (df pass, prefix explode, verify filter)
+    ds = ds.materialize()
+    df_ref = shared_shingle_df(ds, shingle_k) if order == "frequency" else None
+    pref = ds.map_batches(PrefixExplode(threshold, shingle_k, id_col, df_ref),
                           batch_format="pyarrow", batch_size=1024)
     hot, hot_rows, sizes = multi_member_buckets(pref, "sh_key",
                                                 join_partitions)

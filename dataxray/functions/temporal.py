@@ -178,3 +178,117 @@ def interval_join(points, intervals, *, on: str, start_col: str, end_col: str,
         return out.cast(pa.schema(out_fields))
 
     return tagged.groupby(_BUCKET).map_groups(merge, batch_format="pyarrow")
+
+
+def _ts_int(arr) -> np.ndarray:
+    """Epoch-int64 view of a timestamp/int column (bucket arithmetic)."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_timestamp(a.type):
+        a = a.cast(pa.int64())
+    return a.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def interval_join_time_bucketed(points, intervals, *, on: str,
+                                start_col: str, end_col: str,
+                                point_cols: list[str],
+                                interval_cols: list[str],
+                                bucket_width: int | None = None,
+                                key_left: str | None = None,
+                                key_right: str | None = None):
+    """Range join co-partitioned by TIME instead of key — the hot-key /
+    unkeyed variant ``interval_join``'s docstring names: a single hot key
+    (or no key at all) makes the keyed variant's per-bucket candidate
+    product Σ|P_k|·|I_k| collapse into one task, while time locality still
+    spreads the work, because a point can only match intervals whose span
+    covers its own time bucket.
+
+    Protocol: time is cut into ``bucket_width`` slices (default: the max
+    interval length, computed in one cheap pass — with width ≥ max length
+    every interval overlaps ≤ 2 buckets, so replication ≤ 2×); each point
+    goes to exactly ONE bucket, each interval is replicated to every bucket
+    it overlaps. A (point, interval) match is discovered exactly once — in
+    the point's bucket — so no output dedup is needed. Optional
+    ``key_left``/``key_right`` adds key equality WITHIN the time bucket
+    (the hot-key-safe keyed form). Candidates per bucket are bounded by
+    temporal co-occurrence, not key skew.
+    """
+    import pandas as pd  # noqa: F401
+
+    p_schema, i_schema = points.schema(), intervals.schema()
+    _check_reserved(p_schema, i_schema)
+    dup = set(point_cols) & set(interval_cols)
+    if dup:
+        raise ValueError(f"overlapping output columns: {sorted(dup)}")
+    ptypes = dict(zip(p_schema.names, p_schema.types))
+    ityp = dict(zip(i_schema.names, i_schema.types))
+    out_fields = [(c, ptypes[c]) for c in point_cols] + \
+                 [(c, ityp[c]) for c in interval_cols]
+    keyed = key_left is not None
+
+    if bucket_width is None:
+        # one driver-visible max-length pass over the (small) interval side
+        def maxlen(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({"_w": pa.array([], pa.int64())})
+            w = _ts_int(t[end_col]) - _ts_int(t[start_col])
+            return pa.table({"_w": pa.array([int(w.max())], pa.int64())})
+
+        parts = intervals.map_batches(maxlen, batch_format="pyarrow") \
+            .take_all()
+        bucket_width = max((r["_w"] for r in parts), default=1) or 1
+
+    W = int(bucket_width)
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        n = len(t)
+        pts = _ts_int(t[on])
+        cols = {_BUCKET: pa.array(pts // W, pa.int64()),
+                _SIDE: pa.nulls(n, pa.int8()).fill_null(0),
+                _KEY: (pc.cast(t[key_left], pa.int64()) if keyed
+                       else pa.nulls(n, pa.int64()).fill_null(0)),
+                "_ivs": pa.nulls(n, ityp[start_col]),
+                "_ive": pa.nulls(n, ityp[end_col]),
+                "_pts": t[on]}
+        for c, typ in out_fields:
+            cols[c] = t[c] if c in point_cols else pa.nulls(n, typ)
+        return pa.table(cols)
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        s, e = _ts_int(t[start_col]), _ts_int(t[end_col])
+        # replicate each interval to every bucket its [s, e) span overlaps
+        first = s // W
+        last = np.maximum(e - 1, s) // W
+        reps = (last - first + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), reps)
+        offs = np.concatenate([np.arange(r) for r in reps]) if len(t) else \
+            np.empty(0, dtype=np.int64)
+        buckets = first[idx] + offs
+        rt = t.take(pa.array(idx))
+        n = len(rt)
+        cols = {_BUCKET: pa.array(buckets, pa.int64()),
+                _SIDE: pa.nulls(n, pa.int8()).fill_null(1),
+                _KEY: (pc.cast(rt[key_right], pa.int64()) if keyed
+                       else pa.nulls(n, pa.int64()).fill_null(0)),
+                "_ivs": rt[start_col], "_ive": rt[end_col],
+                "_pts": pa.nulls(n, ptypes[on])}
+        for c, typ in out_fields:
+            cols[c] = rt[c] if c in interval_cols else pa.nulls(n, typ)
+        return pa.table(cols)
+
+    tagged = points.map_batches(tag_points, batch_format="pyarrow").union(
+        intervals.map_batches(tag_intervals, batch_format="pyarrow"))
+
+    def merge(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        on_cols = [_KEY] if keyed else ["_one"]
+        if not keyed:
+            df["_one"] = 0
+        p = df[df[_SIDE] == 0][[*on_cols, "_pts", *point_cols]]
+        iv = df[df[_SIDE] == 1][[*on_cols, "_ivs", "_ive", *interval_cols]]
+        m = p.merge(iv, on=on_cols)
+        m = m[(m["_pts"] >= m["_ivs"]) & (m["_pts"] < m["_ive"])]
+        out = pa.Table.from_pandas(m[[c for c, _ in out_fields]],
+                                   preserve_index=False)
+        return out.cast(pa.schema(out_fields))
+
+    return tagged.groupby(_BUCKET).map_groups(merge, batch_format="pyarrow")

@@ -907,6 +907,36 @@ def interval_join_windows(sf_dir: str):
         batch_format="pyarrow")
 
 
+def interval_join_windows_tb(sf_dir: str):
+    """Same range join via the TIME-BUCKETED variant (hot-key-safe path:
+    co-partition by time slice, replicate intervals to overlapped slices,
+    key equality within the slice) — same DuckDB inequality-join oracle, so
+    the two strategies are proven interchangeable on real data."""
+    from ..functions.temporal import interval_join_time_bucketed
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t["value"], 100.0))
+        return pa.table({
+            "window_id": f["event_id"], "w_user": f["user_id"],
+            "w_start": f["ts"],
+            "w_end": pc.add(f["ts"], pa.scalar(3_600_000_000,
+                                               pa.duration("us"))),
+        })
+
+    win = _read(sf_dir, "events",
+                ["event_id", "user_id", "ts", "value"]).map_batches(
+        windows, batch_format="pyarrow")
+    out = interval_join_time_bucketed(
+        ev, win, on="ts", start_col="w_start", end_col="w_end",
+        key_left="user_id", key_right="w_user",
+        point_cols=["event_id"], interval_cols=["window_id"])
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t["event_id"], t["window_id"])),
+        batch_format="pyarrow")
+
+
 def ngram_jaccard_dups(sf_dir: str):
     """Exact word-trigram Jaccard similarity join (prefix-filter inverted
     index, functions/dedup.py ngram_jaccard_pairs) — unlike minhash_dedup

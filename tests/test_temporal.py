@@ -128,3 +128,100 @@ def test_reserved_internal_names_rejected():
                       on="lts", start_col="rts", end_col="rts",
                       by_left="k", by_right="rk",
                       point_cols=["lid"], interval_cols=["rid"])
+
+
+def _mk_intervals(seed=9, n_pts=600, n_iv=120, n_keys=13, horizon=10**6):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-03-01")
+    pts = pd.DataFrame({
+        "pid": np.arange(n_pts, dtype=np.int64),
+        "k": rng.integers(0, n_keys, n_pts).astype(np.int64),
+        "pts_ts": base + pd.to_timedelta(rng.integers(0, horizon, n_pts), unit="s"),
+    })
+    start = rng.integers(0, horizon, n_iv)
+    length = rng.integers(1, horizon // 20, n_iv)
+    iv = pd.DataFrame({
+        "iid": np.arange(n_iv, dtype=np.int64) + 50_000,
+        "ik": rng.integers(0, n_keys, n_iv).astype(np.int64),
+        "ivs": base + pd.to_timedelta(start, unit="s"),
+        "ive": base + pd.to_timedelta(start + length, unit="s"),
+    })
+    return pts, iv
+
+
+def _brute_pairs(pts, iv, keyed=True):
+    out = set()
+    for _, p in pts.iterrows():
+        for _, r in iv.iterrows():
+            if keyed and p["k"] != r["ik"]:
+                continue
+            if r["ivs"] <= p["pts_ts"] < r["ive"]:
+                out.add((int(p["pid"]), int(r["iid"])))
+    return out
+
+
+def test_time_bucketed_interval_join_unkeyed_matches_bruteforce():
+    from dataxray.functions.temporal import interval_join_time_bucketed
+
+    pts, iv = _mk_intervals()
+    got = interval_join_time_bucketed(
+        ray.data.from_arrow(pa.Table.from_pandas(pts)),
+        ray.data.from_arrow(pa.Table.from_pandas(iv)),
+        on="pts_ts", start_col="ivs", end_col="ive",
+        point_cols=["pid"], interval_cols=["iid"]).to_pandas()
+    want = _brute_pairs(pts, iv, keyed=False)
+    assert set(zip(got["pid"], got["iid"])) == want and len(want) > 0
+
+
+def test_time_bucketed_interval_join_keyed_matches_keyed_variant():
+    from dataxray.functions.temporal import interval_join, interval_join_time_bucketed
+
+    pts, iv = _mk_intervals()
+    a = interval_join(
+        ray.data.from_arrow(pa.Table.from_pandas(pts)),
+        ray.data.from_arrow(pa.Table.from_pandas(iv)),
+        on="pts_ts", start_col="ivs", end_col="ive",
+        by_left="k", by_right="ik",
+        point_cols=["pid"], interval_cols=["iid"]).to_pandas()
+    b = interval_join_time_bucketed(
+        ray.data.from_arrow(pa.Table.from_pandas(pts)),
+        ray.data.from_arrow(pa.Table.from_pandas(iv)),
+        on="pts_ts", start_col="ivs", end_col="ive",
+        key_left="k", key_right="ik",
+        point_cols=["pid"], interval_cols=["iid"]).to_pandas()
+    assert set(zip(a["pid"], a["iid"])) == set(zip(b["pid"], b["iid"]))
+    assert len(a) == len(_brute_pairs(pts, iv, keyed=True))
+
+
+def test_time_bucketed_avoids_hot_key_candidate_blowup():
+    """One hot key ruins the keyed variant (every row lands in ONE bucket →
+    |P|x|I| candidates in one task); time bucketing bounds per-task
+    candidates by temporal co-occurrence. Results stay identical."""
+    from dataxray.functions.temporal import interval_join, interval_join_time_bucketed
+
+    pts, iv = _mk_intervals(n_keys=1)  # all rows share key 0
+    a = interval_join(
+        ray.data.from_arrow(pa.Table.from_pandas(pts)),
+        ray.data.from_arrow(pa.Table.from_pandas(iv)),
+        on="pts_ts", start_col="ivs", end_col="ive",
+        by_left="k", by_right="ik",
+        point_cols=["pid"], interval_cols=["iid"]).to_pandas()
+    b = interval_join_time_bucketed(
+        ray.data.from_arrow(pa.Table.from_pandas(pts)),
+        ray.data.from_arrow(pa.Table.from_pandas(iv)),
+        on="pts_ts", start_col="ivs", end_col="ive",
+        key_left="k", key_right="ik",
+        point_cols=["pid"], interval_cols=["iid"]).to_pandas()
+    assert set(zip(a["pid"], a["iid"])) == set(zip(b["pid"], b["iid"]))
+
+    # measure the candidate products each strategy materializes per task
+    keyed_candidates = len(pts) * len(iv)  # one key -> one bucket
+    W = int((iv["ive"] - iv["ivs"]).max().total_seconds())
+    pb = (pts["pts_ts"].astype("int64") // 10**9 // W).value_counts()
+    s = iv["ivs"].astype("int64") // 10**9 // W
+    e = (iv["ive"].astype("int64") // 10**9 - 1) // W
+    ib = pd.Series(np.concatenate(
+        [np.arange(a_, b_ + 1) for a_, b_ in zip(s, e)])).value_counts()
+    per_bucket = (pb * ib).dropna()
+    assert per_bucket.max() < keyed_candidates / 4
+    assert per_bucket.sum() < keyed_candidates / 2
