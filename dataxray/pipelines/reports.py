@@ -984,8 +984,11 @@ def minhash_dedup_incremental(sf_dir: str):
     root = f"/tmp/dataxray_minhash_idx_{_uuid.uuid4().hex[:8]}"
     try:
         idx = MinHashIndex(root).create()
-        p1 = idx.ingest(even, docs, threshold=0.5, label="epoch1")
-        p2 = idx.ingest(odd, docs, threshold=0.5, label="epoch2")
+        p1 = idx.ingest(even, docs, threshold=0.5, label="epoch1",
+                        source_version="epoch1")
+        p2 = idx.ingest(odd, docs, threshold=0.5, label="epoch2",
+                        source_version="epoch2")
+        idx.require_synced("epoch2")  # sidecar-sync surface in the gate path
         return pa.concat_tables([
             pa.concat_tables(ray.get(p1.to_arrow_refs())),
             pa.concat_tables(ray.get(p2.to_arrow_refs())),

@@ -57,12 +57,25 @@ def direct_exchange(ds, num_partitions: int, merge_fn, merge_kwargs: dict,
     round-trip per block (the map stage's output block is never written to
     the store as a separate object).
     """
+    import os as _os
+
     import ray
 
-    split_remote = ray.remote(num_cpus=1, num_returns=num_partitions)(
-        lambda block, n=num_partitions, f=fuse_fn: tuple(
-            split_by_part(f(block) if f is not None else block, n))
-    )
+    # group G map blocks per split task: the driver's bookkeeping is
+    # O(split_tasks × P) ObjectRefs, which scales with DATA (block count)
+    # even when per-CPU load is constant — the one coordinator cost that
+    # erodes weak scaling. Grouping divides it by G for one extra in-task
+    # concat (cheap: the concat is zero-copy chunk stitching).
+    group = max(int(_os.environ.get("DATAXRAY_SPLIT_GROUP", "1")), 1)
+
+    def _split_blocks(*blocks, n=num_partitions, f=fuse_fn):
+        done = [f(b) if f is not None else b for b in blocks]
+        t = done[0] if len(done) == 1 else pa.concat_tables(
+            done, promote_options="permissive")
+        return tuple(split_by_part(t, n))
+
+    split_remote = ray.remote(num_cpus=1,
+                              num_returns=num_partitions)(_split_blocks)
 
     def _merge(p, kwargs, *tables):
         parts = [t.drop_columns([PART_COL]) if PART_COL in t.column_names else t
@@ -74,18 +87,26 @@ def direct_exchange(ds, num_partitions: int, merge_fn, merge_kwargs: dict,
     merge_remote = ray.remote(num_cpus=1)(_merge)
 
     per_part: list[list] = [[] for _ in range(num_partitions)]
+    pending: list = []
 
-    def _submit(block_ref):
+    def _submit(block_refs: list):
         if num_partitions == 1:
             # num_returns=1 would hand the merge a 1-tuple, not a table —
             # with a single partition there is nothing to split anyway
-            if fuse_fn is not None:  # callable instance → wrap for @ray.remote
-                block_ref = ray.remote(num_cpus=1)(
-                    lambda b, f=fuse_fn: f(b)).remote(block_ref)
-            per_part[0].append(block_ref)
+            for block_ref in block_refs:
+                if fuse_fn is not None:  # callable inst → wrap for remote
+                    block_ref = ray.remote(num_cpus=1)(
+                        lambda b, f=fuse_fn: f(b)).remote(block_ref)
+                per_part[0].append(block_ref)
             return
-        for p, r in enumerate(split_remote.remote(block_ref)):
+        for p, r in enumerate(split_remote.remote(*block_refs)):
             per_part[p].append(r)
+
+    def _enqueue(block_ref):
+        pending.append(block_ref)
+        if len(pending) >= group:
+            _submit(pending[:])
+            pending.clear()
 
     import os
     import time as _time
@@ -97,10 +118,13 @@ def direct_exchange(ds, num_partitions: int, merge_fn, merge_kwargs: dict,
             keep.append(bundle)
             for block_ref in bundle.block_refs:
                 keep.append(block_ref)
-                _submit(block_ref)
+                _enqueue(block_ref)
     else:
         for ref in ds.to_arrow_refs():
-            _submit(ref)
+            _enqueue(ref)
+    if pending:
+        _submit(pending[:])
+        pending.clear()
     t1 = _time.perf_counter()
     metas = ray.get(
         [merge_remote.remote(p, merge_kwargs, *per_part[p]) for p in range(num_partitions)]
