@@ -38,6 +38,14 @@ def main() -> None:
     print(f"lake: {root}")
     print(f"partitioner: {meta['partitioner']}  partitions: {meta['num_partitions']}"
           f"  committed: {len(wm)}")
+    if meta.get("generation"):
+        epochs = meta.get("partition_epochs", [])
+        print(f"generation: {meta['generation']}  evolution epochs: "
+              + "; ".join(f"g{e['generation']}: P {e.get('prev_num_partitions')}"
+                          f"->{e['num_partitions']} @txn {e['boundary_txn']}"
+                          for e in epochs))
+    if meta.get("history"):
+        print("history: retained versions per partition (time travel on)")
     print(f"event schema: {lake.event_schema().names}")
     total_rows = total_bytes = total_files = total_deltas = 0
     lo = min(wm.values()) if wm else None
