@@ -18,6 +18,8 @@ over group-cardinality rows (tiny by construction).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -103,6 +105,73 @@ def combine_stats(base: pa.Table, delta: pa.Table,
         [("n_docs", "sum"), ("sum_len", "sum")])
     g = g.rename_columns([group_col, "n_docs", "sum_len"])
     return g.filter(pc.not_equal(g["n_docs"], 0)).sort_by(group_col)
+
+
+class MaterializedGroupStats:
+    """A PERSISTENT incrementally-maintained view: (group, n_docs, sum_len)
+    over the lake, stored beside it and refreshed from the change feed.
+
+    Layout (over the lake's own filesystem backend):
+        <lake>/_views/<name>/state.parquet   the aggregate table
+        <lake>/_views/<name>/_meta.json      {as_of_txn, generation}
+
+    ``refresh()`` applies only ``changes(since=stored as_of)`` — O(changed
+    keys) per epoch — and commits the new state with a single meta PUT
+    (manifest pattern: a crash mid-refresh leaves the old consistent view;
+    re-running refresh is idempotent because as_of_txn is the label). A
+    partition evolution bumps the lake generation; the view detects it and
+    REBUILDS (partition ids changed meaning under the diff), which is the
+    same self-healing contract as the sidecar indexes.
+    """
+
+    def __init__(self, lake: Lake, name: str = "group_stats",
+                 group_col: str = "lang", text_col: str = "text"):
+        self.lake = lake
+        self.name = name
+        self.group_col, self.text_col = group_col, text_col
+        self.dir = lake._p("_views", name)
+        self.meta_path = os.path.join(self.dir, "_meta.json")
+        self.state_path = os.path.join(self.dir, "state.parquet")
+
+    def exists(self) -> bool:
+        return self.lake.fs.exists(self.meta_path)
+
+    def meta(self) -> dict:
+        return self.lake.fs.read_json(self.meta_path)
+
+    def read(self) -> pa.Table:
+        return self.lake.fs.read_parquet(self.state_path)
+
+    def _commit(self, table: pa.Table, as_of: int, gen: int) -> None:
+        self.lake.fs.makedirs(self.dir)
+        self.lake.fs.write_parquet(table, self.state_path,
+                                   compression="zstd")
+        self.lake.fs.put_json(self.meta_path,
+                              {"as_of_txn": as_of, "generation": gen,
+                               "group_col": self.group_col,
+                               "text_col": self.text_col})
+
+    def refresh(self) -> pa.Table:
+        """Bring the view to the lake's current committed snapshot."""
+        wm = self.lake.watermarks()
+        cur_txn = max(wm.values(), default=-1)
+        cur_gen = self.lake.generation()
+        if not self.exists() or self.meta().get("generation") != cur_gen:
+            # first build, or the lake evolved partitions under the view
+            full = grouped_count_sum(
+                self.lake.dataset(columns=[self.group_col, self.text_col]),
+                self.group_col, self.text_col).sort_by(self.group_col)
+            self._commit(full, cur_txn, cur_gen)
+            return full
+        m = self.meta()
+        if m["as_of_txn"] >= cur_txn:
+            return self.read()  # already current (idempotent replay)
+        out = incremental_group_stats(
+            self.lake, since_txn=m["as_of_txn"],
+            group_col=self.group_col, text_col=self.text_col,
+            base=self.read())
+        self._commit(out, cur_txn, cur_gen)
+        return out
 
 
 def incremental_group_stats(lake: Lake, since_txn: int,
