@@ -659,53 +659,127 @@ class Lake:
     # ---------- change feed ----------
     def partition_changes(self, p: int, since_txn: int,
                           until_txn: int | None = None,
-                          pre_images: bool = False) -> pa.Table:
+                          pre_images: bool = False,
+                          gen: int | None = None) -> pa.Table:
         """CDF for one partition: diff of the resolved snapshots as of
         ``since_txn`` and ``until_txn`` (None = current). ``_change_type`` ∈
         {insert, update, delete}; see stages.merge.diff_snapshots. since_txn
-        < the first commit diffs against the empty snapshot (all inserts)."""
+        < the first commit diffs against the empty snapshot (all inserts).
+        Both snapshots must live in the SAME generation ``gen`` (partition
+        ids change meaning across an evolution) — ``changes()`` routes
+        cross-generation windows through the re-hash path instead."""
         from ..stages.merge import diff_snapshots
 
-        cur = self.generation()
-        if self._gen_for_txn(since_txn) != cur or (
-                until_txn is not None and self._gen_for_txn(until_txn) != cur):
-            # across an evolution boundary partition p means a DIFFERENT url
-            # bucket on each side — a per-partition diff would be nonsense
+        gen = self.generation() if gen is None else gen
+        if self._gen_for_txn(since_txn) != gen or (
+                until_txn is not None and self._gen_for_txn(until_txn) != gen):
             raise ValueError(
-                "change feed across a partition-evolution boundary is not "
-                "supported; use since_txn >= the evolution's boundary_txn "
-                f"(epochs: {self.partition_epochs()})")
-        old = self.resolve(p, as_of_txn=since_txn, gen=cur)
-        new = self.resolve(p, gen=cur) if until_txn is None \
-            else self.resolve(p, as_of_txn=until_txn, gen=cur)
+                "partition_changes cannot diff across a partition-evolution "
+                "boundary (partition ids change meaning); use Lake.changes()"
+                f" (epochs: {self.partition_epochs()})")
+        old = self.resolve(p, as_of_txn=since_txn, gen=gen)
+        new = self.resolve(p, gen=gen) if until_txn is None \
+            else self.resolve(p, as_of_txn=until_txn, gen=gen)
         return diff_snapshots(old, new, pre_images=pre_images)
 
     def changes(self, since_txn: int, until_txn: int | None = None,
                 pre_images: bool = False):
         """Distributed change feed: one remote diff task per partition (the
         diff is partition-local by construction — both snapshots hash on the
-        same key — so no shuffle), returned as a Ray Dataset."""
+        same key — so no shuffle), returned as a Ray Dataset.
+
+        When the window CROSSES a partition-evolution boundary, partition
+        ids change meaning, so the old snapshot is first RE-HASHED into the
+        until-side generation's bucketing (one split task per old
+        partition, same machinery as evolve_partitions) and each new-gen
+        partition diffs its re-bucketed old state against its own snapshot
+        — one extra exchange of the old snapshot, still no global shuffle
+        of the new side. Requires the old generation's manifests (history
+        lakes retain them; non-history lakes GC them at evolution)."""
         import ray
         import ray.data
 
         root = self.root
+        g_until = (self.generation() if until_txn is None
+                   else self._gen_for_txn(until_txn))
+        g_since = self._gen_for_txn(since_txn)
+
+        if g_since == g_until:
+            @ray.remote(num_cpus=1)
+            def _diff(p: int):
+                return Lake(root).partition_changes(
+                    p, since_txn, until_txn, pre_images=pre_images,
+                    gen=g_until)
+
+            parts = sorted(self.watermarks(g_until))
+            if not parts:
+                return ray.data.from_items([])
+            return ray.data.from_arrow_refs([_diff.remote(p) for p in parts])
+
+        # ---- cross-generation window ----
+        old_parts = sorted(self.watermarks(g_since))
+        if not old_parts:
+            raise ValueError(
+                f"generation {g_since} manifests are gone (evolution on a "
+                "non-history lake GCs them) — cross-boundary change feeds "
+                "need init(history=True)")
+        new_parts = sorted(self.watermarks(g_until))
+        new_p = len(new_parts)
+        nret = max(new_p, 2)
+
+        @ray.remote(num_cpus=1, num_returns=nret)
+        def _split_old(q: int) -> tuple:
+            from ..hashing import partition_of
+            from ..schema import PART_COL
+            from ..stages.exchange import split_by_part
+
+            t = Lake(root).resolve(q, as_of_txn=since_txn, gen=g_since)
+            if t is None or len(t) == 0:
+                return tuple([None] * nret)
+            codes = partition_of(t["url"], new_p)
+            t = t.append_column(PART_COL, pa.array(codes))
+            out = list(split_by_part(t, new_p))
+            while len(out) < nret:
+                out.append(None)
+            return tuple(out)
 
         @ray.remote(num_cpus=1)
-        def _diff(p: int):
-            return Lake(root).partition_changes(p, since_txn, until_txn,
-                                                pre_images=pre_images)
+        def _diff_new(p: int, *pieces) -> pa.Table:
+            from ..stages.merge import diff_snapshots
 
-        parts = sorted(self.watermarks())
-        if not parts:
-            return ray.data.from_items([])
-        return ray.data.from_arrow_refs([_diff.remote(p) for p in parts])
+            olds = [t for t in pieces if t is not None and len(t)]
+            old = pa.concat_tables(olds, promote_options="permissive") \
+                if olds else None
+            lk = Lake(root)
+            new = (lk.resolve(p, gen=g_until) if until_txn is None
+                   else lk.resolve(p, as_of_txn=until_txn, gen=g_until))
+            return diff_snapshots(old, new, pre_images=pre_images)
 
-    def changes_table(self, since_txn: int,
-                      until_txn: int | None = None) -> pa.Table:
-        """Driver-side change feed (tests / small results only)."""
-        parts = [self.partition_changes(p, since_txn, until_txn)
-                 for p in sorted(self.watermarks())]
-        parts = [t for t in parts if t is not None and len(t)]
+        outs = {q: _split_old.remote(q) for q in old_parts}
+        return ray.data.from_arrow_refs([
+            _diff_new.remote(p, *[outs[q][p] for q in old_parts])
+            for p in new_parts
+        ])
+
+    def changes_table(self, since_txn: int, until_txn: int | None = None,
+                      pre_images: bool = False) -> pa.Table:
+        """Driver-side change feed (tests / small results only). Routes
+        through the distributed path when the window crosses an evolution
+        boundary (the re-hash needs Ray)."""
+        import ray
+
+        g_until = (self.generation() if until_txn is None
+                   else self._gen_for_txn(until_txn))
+        if self._gen_for_txn(since_txn) != g_until:
+            ds = self.changes(since_txn, until_txn, pre_images=pre_images)
+            parts = [t for t in ray.get(ds.to_arrow_refs())
+                     if t is not None and len(t)]
+        else:
+            parts = [self.partition_changes(p, since_txn, until_txn,
+                                            pre_images=pre_images,
+                                            gen=g_until)
+                     for p in sorted(self.watermarks(g_until))]
+            parts = [t for t in parts if t is not None and len(t)]
         if not parts:
             return pa.table({})
         return pa.concat_tables(parts, promote_options="permissive")

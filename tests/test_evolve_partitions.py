@@ -117,10 +117,24 @@ def test_evolve_history_time_travel_across_boundary(data_dir, tmp_path):
     at = _lake_df(lake, as_of_txn=boundary)
     assert at["url"].tolist() == snaps[-1][1]["url"].tolist()
     assert at["text"].tolist() == snaps[-1][1]["text"].tolist()
-    # change feed across the boundary refuses (partition ids changed meaning)
-    with pytest.raises(ValueError, match="evolution boundary"):
-        lk.changes_table(since_txn=boundary - 1)
-    # within the new generation it works
+    # change feed ACROSS the boundary: the old snapshot is re-hashed into
+    # the new bucketing and diffed — must equal the global url-keyed diff
+    since = snaps[0][0]
+    feed = lk.changes_table(since_txn=since)
+    old_df = _lake_df(lake, as_of_txn=since)
+    new_df = _lake_df(lake)
+    old_m = {r.url: (r.txn_id, r.seq) for r in old_df.itertuples(index=False)}
+    new_m = {r.url: (r.txn_id, r.seq) for r in new_df.itertuples(index=False)}
+    want = {(u, "insert") for u in new_m if u not in old_m}
+    want |= {(u, "update") for u in new_m
+             if u in old_m and new_m[u] != old_m[u]}
+    want |= {(u, "delete") for u in old_m if u not in new_m}
+    got = set(zip(feed["url"].to_pylist(), feed["_change_type"].to_pylist()))
+    assert got == want and want
+    # partition-local diff still refuses across the boundary (wrong tool)
+    with pytest.raises(ValueError, match="partition_changes"):
+        lk.partition_changes(0, since_txn=since)
+    # within the new generation the partition-local fast path works
     lk.changes_table(since_txn=boundary)
 
 
