@@ -41,6 +41,7 @@ QUERY_NAMES = [
     "broadcast_join_segments", "window_tumbling", "dedup_exact_groups",
     "token_stats", "knn_cosine_top5", "session_windows", "global_topk_orders",
     "anti_join_bloom", "langid_pred", "minhash_dedup", "knn_ivf_top5",
+    "cdc_incremental_agg", "interval_join_windows_tb",
 ]
 
 
