@@ -667,11 +667,23 @@ def run_job(job: dict, dry_run: bool = False) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="dataxray job runner")
-    ap.add_argument("--job", required=True, help="path to job.json")
+    ap.add_argument("--job", help="path to job.json")
     ap.add_argument("--dry-run", action="store_true")
+    # lake maintenance ops (no job.json needed): online re-bucketing,
+    # retention, compaction — the operational complement of lake_info
+    ap.add_argument("--evolve-lake", metavar="ROOT",
+                    help="re-bucket a live lake to --partitions N (online "
+                         "partition evolution; manifest-recorded boundary)")
+    ap.add_argument("--partitions", type=int)
+    ap.add_argument("--vacuum-lake", metavar="ROOT",
+                    help="drop history versions beyond --retain N")
+    ap.add_argument("--retain", type=int, default=1)
+    ap.add_argument("--compact-lake", metavar="ROOT",
+                    help="resolve delta-bearing partitions in place")
     args = ap.parse_args()
-    with open(args.job) as f:
-        job = json.load(f)
+    maintenance = args.evolve_lake or args.vacuum_lake or args.compact_lake
+    if not args.job and not maintenance:
+        ap.error("--job required (or a maintenance op)")
 
     import ray
 
@@ -681,6 +693,24 @@ def main() -> None:
 
     DataContext.get_current().enable_progress_bars = False
     try:
+        if maintenance:
+            from .state.manifest import Lake
+
+            out = {}
+            if args.evolve_lake:
+                if not args.partitions:
+                    ap.error("--evolve-lake needs --partitions N")
+                out["evolve"] = Lake(args.evolve_lake).evolve_partitions(
+                    args.partitions)
+            if args.compact_lake:
+                out["compacted"] = Lake(args.compact_lake).compact_all()
+            if args.vacuum_lake:
+                out["vacuum"] = Lake(args.vacuum_lake).vacuum(
+                    retain_last=args.retain)
+            print(json.dumps(out))
+            return
+        with open(args.job) as f:
+            job = json.load(f)
         report = run_job(job, dry_run=args.dry_run)
         print(json.dumps(report))
     finally:

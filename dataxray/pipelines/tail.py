@@ -112,6 +112,7 @@ def tail_replay(
     idle_polls: int = 3,
     max_epochs: int | None = None,
     compact_over_bytes: int | None = None,
+    maintain_views: list | None = None,
 ) -> TailReport:
     """Tail ``events_dir`` until idle. Every poll that finds unapplied txns
     runs one exactly-once replay epoch; crashes mid-tail resume exactly like
@@ -122,7 +123,15 @@ def tail_replay(
     threshold are compacted (distributed, one task each) — churn-driven
     maintenance interleaved with ingest, instead of a separate offline pass.
     Compaction is label-safe (same txn_hi), so a crash mid-compact resumes
-    like any other run."""
+    like any other run.
+
+    maintain_views: derived views (pipelines.derive.MaterializedGroupStats
+    or anything with .refresh()) refreshed after every committed epoch —
+    each refresh applies only that epoch's change feed (O(changed keys)),
+    so downstream aggregates stay current at ingest cadence. Requires a
+    history=True lake (the feed diffs retained snapshots); refresh is
+    idempotent/label-safe, so a crash between commit and refresh just
+    re-refreshes next epoch."""
     from ..state.manifest import Lake
 
     report = TailReport()
@@ -146,6 +155,8 @@ def tail_replay(
             if compact_over_bytes is not None:
                 report.compactions += Lake(lake_dir).compact_all(
                     min_delta_bytes=compact_over_bytes)
+            for v in maintain_views or []:
+                v.refresh()
         else:
             idle += 1
             if idle < idle_polls:

@@ -188,3 +188,29 @@ def test_chunked_replay_matches_oracle(tmp_path):
     got = Lake(lake).read_all().to_pandas().sort_values("url").reset_index(drop=True)
     assert got["url"].tolist() == oracle["url"].tolist()
     assert got["text"].tolist() == oracle["text"].tolist()
+
+
+def test_tail_maintains_views_per_epoch(tmp_path):
+    """maintain_views: a MaterializedGroupStats refreshed by the tailer
+    after every epoch ends current with the final lake state."""
+    from dataxray.pipelines.derive import MaterializedGroupStats, grouped_count_sum
+
+    src = str(tmp_path / "gen")
+    write_dataset(src, CFG, parallel=False)
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    for f in sorted(os.listdir(os.path.join(src, "events"))):
+        shutil.copy(os.path.join(src, "events", f), wal)
+    lake = str(tmp_path / "lake")
+    view = MaterializedGroupStats(Lake(lake), "langs")
+    rep = tail_replay(wal, lake,
+                      pages_path=os.path.join(src, "pages.parquet"),
+                      cfg=ReplayConfig(num_partitions=4, history=True),
+                      poll_sec=0.0, idle_polls=1,
+                      maintain_views=[view])
+    assert rep.epochs_applied >= 1
+    got = view.read()
+    want = grouped_count_sum(
+        Lake(lake).dataset(columns=["lang", "text"])).sort_by("lang")
+    assert got.to_pydict() == want.to_pydict()
+    assert view.meta()["as_of_txn"] == max(Lake(lake).watermarks().values())
