@@ -412,6 +412,7 @@ def _writer_rdbms(ds, param: dict) -> dict:
         pre_sql=param.get("preSql"), post_sql=param.get("postSql"),
         create_from_schema=schema,
         dirty_dir=param.get("dirtyDir"),
+        session=param.get("session"),
     )
     return {"sink": param["path"], "rows": rep["rows_written"],
             "rowsFailed": rep["rows_failed"]}

@@ -43,10 +43,17 @@ _AFFINITY_TO_ARROW = {
 }
 
 
-def _connect(db_path: str) -> sqlite3.Connection:
+def _connect(db_path: str,
+             session: list[str] | None = None) -> sqlite3.Connection:
+    """``session``: per-connection statements run before any work — the
+    sessionConfig analog (DBUtil.dealWithSessionConfig: per-connection SET
+    statements); on sqlite these are PRAGMAs, e.g. ["PRAGMA synchronous=OFF"].
+    Applied on EVERY connection a task opens, like the reference."""
     con = sqlite3.connect(db_path, timeout=30.0)
     con.execute("PRAGMA journal_mode=WAL")
     con.execute("PRAGMA busy_timeout=30000")
+    for s in session or []:
+        con.execute(s)
     return con
 
 
@@ -180,13 +187,15 @@ class SqlWriter:
 
     def __init__(self, db_path: str, table: str, write_mode: str = "insert",
                  conflict_pk: str | None = None, batch_size: int = 2048,
-                 dirty_dir: str | None = None):
+                 dirty_dir: str | None = None,
+                 session: list[str] | None = None):
         self.db_path = db_path
         self.table = table
         self.write_mode = write_mode
         self.conflict_pk = conflict_pk
         self.batch_size = batch_size
         self.dirty_dir = dirty_dir
+        self.session = session
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..errors import write_dirty
@@ -194,7 +203,7 @@ class SqlWriter:
         cols = batch.column_names
         sql = _write_template(self.table, cols, self.write_mode, self.conflict_pk)
         rows = list(zip(*(batch[c].to_pylist() for c in cols)))
-        con = _connect(self.db_path)
+        con = _connect(self.db_path, self.session)
         bad_idx: list[int] = []
         try:
             for start in range(0, len(rows), self.batch_size):
@@ -229,9 +238,10 @@ def write_table(ds, db_path: str, table: str, write_mode: str = "insert",
                 pre_sql: list[str] | None = None,
                 post_sql: list[str] | None = None,
                 create_from_schema: pa.Schema | None = None,
-                dirty_dir: str | None = None, concurrency: int = 2) -> dict:
+                dirty_dir: str | None = None, concurrency: int = 2,
+                session: list[str] | None = None) -> dict:
     """Write a Dataset into a sqlite table; returns {rows_written, rows_failed}."""
-    con = _connect(db_path)
+    con = _connect(db_path, session)
     try:
         if create_from_schema is not None:
             decls = []
@@ -249,7 +259,7 @@ def write_table(ds, db_path: str, table: str, write_mode: str = "insert",
     counts = ds.map_batches(
         SqlWriter,
         fn_constructor_args=(db_path, table, write_mode, conflict_pk,
-                             batch_size, dirty_dir),
+                             batch_size, dirty_dir, session),
         batch_format="pyarrow", concurrency=concurrency,
     ).take_all()
     report = {"rows_written": sum(r["rows_written"] for r in counts),

@@ -119,3 +119,33 @@ def test_cli_rdbms_job(tmp_path):
     }]}}
     rep2 = run_job(job2)
     assert rep2["content"][0]["rows"] == 25
+
+
+def test_session_config_applied_per_connection(tmp_path):
+    """sessionConfig analog (DBUtil.dealWithSessionConfig): per-connection
+    statements run before any work, on the driver connection AND inside
+    every writer task's connection."""
+    import sqlite3
+
+    import ray.data
+
+    from dataxray.sources import rdbms
+
+    db = str(tmp_path / "s.db")
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array(["a", "b", "c"])})
+    rep = rdbms.write_table(
+        ray.data.from_arrow(t), db, "t", create_from_schema=t.schema,
+        conflict_pk="k",
+        session=["PRAGMA synchronous=OFF", "PRAGMA cache_size=-2000"],
+    )
+    assert rep["rows_written"] == 3
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 3
+    con.close()
+    # a broken session statement fails loudly, not silently
+    import pytest as _pytest
+
+    with _pytest.raises(sqlite3.Error):
+        rdbms.write_table(ray.data.from_arrow(t), db, "t",
+                          session=["PRAGMA ="])
