@@ -240,7 +240,8 @@ def _reader_rdbms(param: dict, channels: int):
     ds = rdbms.read_table(param["path"], param["table"],
                           columns=param.get("column"),
                           split_pk=param.get("splitPk"), num_splits=n,
-                          where=param.get("where"))
+                          where=param.get("where"),
+                          session=param.get("session"))
     return ds, n
 
 

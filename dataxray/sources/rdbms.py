@@ -136,8 +136,10 @@ def _rows_to_table(rows: list, schema: pa.Schema) -> pa.Table:
 
 def read_table(db_path: str, table: str, columns: list[str] | None = None,
                split_pk: str | None = None, num_splits: int = 4,
-               where: str | None = None):
-    """ray.data.Dataset over a sqlite table: one read task per planned split."""
+               where: str | None = None, session: list[str] | None = None):
+    """ray.data.Dataset over a sqlite table: one read task per planned split.
+    ``session``: per-connection statements (sessionConfig analog), applied
+    in every read task's connection."""
     import ray.data
 
     schema = table_schema(db_path, table, columns)
@@ -147,7 +149,7 @@ def read_table(db_path: str, table: str, columns: list[str] | None = None,
     def load(batch: pa.Table) -> pa.Table:
         out = []
         for clause in batch["clause"].to_pylist():
-            con = _connect(db_path)
+            con = _connect(db_path, session)
             try:
                 rows = con.execute(
                     f"SELECT {col_sql} FROM {table} WHERE {clause}"
