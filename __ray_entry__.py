@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_groups": R.dedup_exact_groups,
         "token_stats": R.token_stats,
         "quality_stats": R.quality_stats,
+        "pii_redact": R.pii_redact,
+        "repetition_stats": R.repetition_stats,
+        "pack_bins": R.pack_bins,
         "knn_cosine_top5": R.knn_cosine_top5,
         "embedding_dup_ids": R.embedding_dup_ids,
         "ngram_jaccard_dups": R.ngram_jaccard_dups,
@@ -210,6 +213,8 @@ def reference_models() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_top5": M.knn_lsh_top5,
         "knn_ivf_top5": M.knn_ivf_top5,
         "multimodal_features": M.multimodal_features,
+        "repetition_stats": M.repetition_stats,
+        "pack_bins": M.pack_bins,
     }
 
 
@@ -339,6 +344,17 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_dups FROM documents GROUP BY 1"
         ),
         "token_stats": f"SELECT doc_id, {_N_TOKENS} AS n_tokens FROM documents",
+        # same RE2 patterns as functions/text.py PII_EMAIL / PII_URL —
+        # pyarrow and DuckDB both run RE2, so the strings match exactly
+        "pii_redact": (
+            "SELECT doc_id, regexp_replace(regexp_replace("
+            "coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)"
+            " || '@example.com see https://ex.com/p/' || "
+            "CAST(doc_id AS VARCHAR) || ' end', "
+            r"'[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), 'https?://[^\\s]+', '<URL>', 'g') "
+            "AS text_redacted FROM documents"
+        ),
         "quality_stats": (
             "SELECT doc_id, length(text) AS n_chars_calc, "
             f"{_N_TOKENS} AS n_tokens, "

@@ -147,3 +147,113 @@ def fingerprint64(arr: pa.ChunkedArray) -> pa.Array:
 
 def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fp64") -> pa.Table:
     return batch.append_column(out, fingerprint64(batch[col]))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction, repetition signals, sequence packing (training-data prep)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (pyarrow and DuckDB both run RE2, so the SQL
+# oracle can use the SAME strings with regexp_replace(..., 'g'))
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+
+
+def redact_pii(batch: pa.Table, col: str = "text",
+               out: str = "text_redacted") -> pa.Table:
+    """Replace emails and URLs with placeholder tokens — the minimal PII
+    scrub a web-scale training pipeline runs before tokenization. Pure
+    pyarrow.compute regex kernels (RE2), vectorized per batch."""
+    s = pc.fill_null(batch[col], "")
+    s = pc.replace_substring_regex(s, PII_EMAIL, "<EMAIL>")
+    s = pc.replace_substring_regex(s, PII_URL, "<URL>")
+    return batch.append_column(out, s)
+
+
+def add_repetition_signals(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher/MassiveText-style repetition quality signals (Rae et al.
+    2021, §A1.1 'repetitious text'): documents dominated by repeated lines
+    or n-grams are low-quality boilerplate.
+
+      * dup_line_frac        duplicate lines / lines
+      * dup_line_char_frac   chars in duplicate lines / chars in lines
+      * top2gram_char_frac   chars covered by the most frequent word 2-gram
+
+    Per-doc Counter work (C-speed dict counting) inside map_batches — the
+    standard implementation shape; the stage parallelizes across tasks."""
+    from collections import Counter
+
+    texts = pc.fill_null(batch[col], "").to_pylist()
+    n = len(texts)
+    dl = np.zeros(n, dtype=np.float64)
+    dlc = np.zeros(n, dtype=np.float64)
+    tg = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        lines = [ln for ln in t.split("\n") if ln.strip()]
+        if lines:
+            cnt = Counter(lines)
+            dup_lines = sum(c - 1 for c in cnt.values())
+            dl[i] = dup_lines / len(lines)
+            dup_chars = sum(len(ln) * (c - 1) for ln, c in cnt.items())
+            tot_chars = sum(len(ln) for ln in lines)
+            dlc[i] = dup_chars / tot_chars if tot_chars else 0.0
+        toks = t.split()
+        if len(toks) >= 2:
+            grams = Counter(zip(toks, toks[1:]))
+            (a, b), c = max(grams.items(),
+                            key=lambda kv: (kv[1], kv[0]))  # deterministic
+            covered = (len(a) + len(b)) * c
+            total = sum(len(x) for x in toks)
+            tg[i] = min(covered / total, 1.0) if total else 0.0
+    for name, arr in [("dup_line_frac", dl), ("dup_line_char_frac", dlc),
+                      ("top2gram_char_frac", tg)]:
+        batch = batch.append_column(name, pa.array(arr))
+    return batch
+
+
+def pack_sequences(ds, max_tokens: int = 512, id_col: str = "doc_id",
+                   text_col: str = "text", num_buckets: int = 16):
+    """Greedy sequence packing for LLM training: assign documents to bins
+    of ≤ max_tokens whitespace tokens (a doc longer than the budget gets
+    its own bin). Deterministic AND distribution-invariant: docs hash into
+    ``num_buckets`` groups, and within each group packing runs next-fit
+    over ascending doc_id — the result is a pure function of (ids, token
+    counts), never of block layout, so a single-process reference model
+    reproduces it exactly. Bins are (bucket, k) pairs encoded as
+    bucket * 2^32 + k.
+
+    Scale shape: one (id, n_tokens) shuffle into num_buckets groups; the
+    sequential pass is per-bucket over integers only (text never moves)."""
+    def counts(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64())
+        h = (ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.table({
+            id_col: ids,
+            "n_tokens": pc.cast(token_count(t[text_col]), pa.int64()),
+            "_bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def pack(g: pa.Table) -> pa.Table:
+        b = int(g["_bucket"][0].as_py())
+        order = np.argsort(g[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False))
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        toks = g["n_tokens"].combine_chunks().to_numpy(
+            zero_copy_only=False)[order]
+        bins = np.zeros(len(ids), dtype=np.int64)
+        k, used = 0, 0
+        for i, t in enumerate(toks):
+            if used > 0 and used + t > max_tokens:
+                k += 1
+                used = 0
+            bins[i] = (b << 32) | k
+            used += int(t)
+            if used >= max_tokens:
+                k += 1
+                used = 0
+        return pa.table({id_col: pa.array(ids), "n_tokens": pa.array(toks),
+                         "bin_id": pa.array(bins)})
+
+    sized = ds.map_batches(counts, batch_format="pyarrow")
+    return sized.groupby("_bucket").map_groups(pack, batch_format="pyarrow")

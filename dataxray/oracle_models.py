@@ -249,3 +249,78 @@ def knn_lsh_top5(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5
     return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
                      "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
                      "rank": pa.array(out["rank"], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats — independent per-row reimplementation (no shared code
+# with functions.text beyond the published Gopher definitions)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(sf_dir: str) -> pa.Table:
+    t = _docs(sf_dir)
+    rows = {"doc_id": [], "dup_line_frac": [], "dup_line_char_frac": [],
+            "top2gram_char_frac": []}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        text = text or ""
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        dl = dlc = 0.0
+        if lines:
+            seen: dict[str, int] = {}
+            for ln in lines:
+                seen[ln] = seen.get(ln, 0) + 1
+            dl = sum(c - 1 for c in seen.values()) / len(lines)
+            tot = sum(len(ln) for ln in lines)
+            dup = sum(len(ln) * (c - 1) for ln, c in seen.items())
+            dlc = dup / tot if tot else 0.0
+        toks = text.split()
+        tg = 0.0
+        if len(toks) >= 2:
+            grams: dict[tuple, int] = {}
+            for g in zip(toks, toks[1:]):
+                grams[g] = grams.get(g, 0) + 1
+            best = max(grams.items(), key=lambda kv: (kv[1], kv[0]))
+            (a, b), c = best
+            total = sum(len(x) for x in toks)
+            tg = min((len(a) + len(b)) * c / total, 1.0) if total else 0.0
+        rows["doc_id"].append(did)
+        rows["dup_line_frac"].append(dl)
+        rows["dup_line_char_frac"].append(dlc)
+        rows["top2gram_char_frac"].append(tg)
+    return pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
+                     "dup_line_frac": pa.array(rows["dup_line_frac"]),
+                     "dup_line_char_frac": pa.array(rows["dup_line_char_frac"]),
+                     "top2gram_char_frac": pa.array(rows["top2gram_char_frac"])})
+
+
+# ---------------------------------------------------------------------------
+# pack_bins — single-process next-fit packing over the same hash buckets
+# ---------------------------------------------------------------------------
+
+
+def pack_bins(sf_dir: str, max_tokens: int = 256,
+              num_buckets: int = 16) -> pa.Table:
+    t = _docs(sf_dir)
+    per_bucket: dict[int, list[tuple[int, int]]] = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = (text or "").strip()
+        n = len(toks.split()) if toks else 0
+        h = (did * 0x9E3779B97F4A7C15 & ((1 << 64) - 1)) >> 33
+        per_bucket.setdefault(h % num_buckets, []).append((did, n))
+    rows = {"doc_id": [], "n_tokens": [], "bin_id": []}
+    for b in sorted(per_bucket):
+        k = used = 0
+        for did, n in sorted(per_bucket[b]):
+            if used > 0 and used + n > max_tokens:
+                k += 1
+                used = 0
+            rows["doc_id"].append(did)
+            rows["n_tokens"].append(n)
+            rows["bin_id"].append((b << 32) | k)
+            used += n
+            if used >= max_tokens:
+                k += 1
+                used = 0
+    return pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
+                     "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+                     "bin_id": pa.array(rows["bin_id"], pa.int64())})

@@ -835,6 +835,47 @@ def quality_stats(sf_dir: str):
     )
 
 
+def pii_redact(sf_dir: str):
+    """PII scrub (emails + URLs → placeholder tokens). The synthetic corpus
+    has no PII, so the query first INJECTS deterministic PII-shaped strings
+    (doc_id-derived), then redacts — the DuckDB oracle does the identical
+    concat + regexp_replace (both engines run RE2, same pattern strings)."""
+    from ..functions.text import redact_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def enrich_and_redact(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        s = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""), " contact user", ids,
+            "@example.com see https://ex.com/p/", ids, " end", "")
+        out = redact_pii(t.set_column(
+            t.schema.get_field_index("text"), "text", s))
+        return out.select(["doc_id", "text_redacted"])
+
+    return ds.map_batches(enrich_and_redact, batch_format="pyarrow")
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals over the documents table
+    (py-model oracle: independent single-process reimplementation)."""
+    from ..functions.text import add_repetition_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: add_repetition_signals(t).drop_columns(["text"]),
+        batch_format="pyarrow")
+
+
+def pack_bins(sf_dir: str):
+    """Greedy sequence packing (distribution-invariant: hash-bucketed
+    next-fit over ascending doc_id — py-model oracle reproduces exactly)."""
+    from ..functions.text import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(ds, max_tokens=256)
+
+
 def knn_cosine_top5(sf_dir: str):
     from ..functions.similarity import knn_bruteforce
 

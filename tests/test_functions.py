@@ -311,3 +311,54 @@ def test_multimodal_fake_decode_plumbing():
     assert any(r["media_len"] > 0 for r in rows)
     with pytest.raises(NotImplementedError):
         LibraryDecoder("image")
+
+
+def test_redact_pii_patterns():
+    from dataxray.functions.text import redact_pii
+
+    t = pa.table({"text": pa.array([
+        "mail me at a.b+c@test-x.org now",
+        "see https://x.y/z?a=1 and http://q.example/page.",
+        "no pii here", None])})
+    out = redact_pii(t)["text_redacted"].to_pylist()
+    assert out[0] == "mail me at <EMAIL> now"
+    assert out[1] == "see <URL> and <URL>"
+    assert out[2] == "no pii here" and out[3] == ""
+
+
+def test_repetition_signals_crafted():
+    from dataxray.functions.text import add_repetition_signals
+
+    t = pa.table({"text": pa.array([
+        "a\na\nb",             # 1 dup line of 3 -> 1/3; chars 1/3
+        "x y x y x y",         # top 2-gram ('x','y') x3 covers 6/6 chars
+        "unique words only here",
+        ""])})
+    out = add_repetition_signals(t)
+    assert out["dup_line_frac"].to_pylist()[0] == pytest.approx(1 / 3)
+    assert out["dup_line_char_frac"].to_pylist()[0] == pytest.approx(1 / 3)
+    assert out["top2gram_char_frac"].to_pylist()[1] == pytest.approx(1.0)
+    assert out["dup_line_frac"].to_pylist()[2] == 0.0
+    assert out["top2gram_char_frac"].to_pylist()[3] == 0.0
+
+
+def test_pack_sequences_budget_and_invariance():
+    import ray.data
+
+    from dataxray.functions.text import pack_sequences
+
+    texts = [("w " * n).strip() for n in
+             [5, 10, 120, 50, 50, 50, 200, 1, 1, 1, 300, 90]]
+    docs = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts)})
+    a = pack_sequences(ray.data.from_arrow(docs), max_tokens=100).to_pandas()
+    # block layout must not change the result (hash buckets + id order)
+    b = pack_sequences(ray.data.from_arrow(docs).repartition(7),
+                       max_tokens=100).to_pandas()
+    key = lambda df: sorted(zip(df["doc_id"], df["bin_id"]))
+    assert key(a) == key(b)
+    # bin budget: every bin holds <= 100 tokens unless it is a single
+    # oversized doc
+    for bin_id, grp in a.groupby("bin_id"):
+        assert grp["n_tokens"].sum() <= 100 or len(grp) == 1
+    assert set(a["doc_id"]) == set(range(len(texts)))
