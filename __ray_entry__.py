@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_top5": R.knn_lsh_top5,
         "knn_ivf_top5": R.knn_ivf_top5,
         "multimodal_features": R.multimodal_features,
+        "image_resize": R.image_resize,
     }
 
 
@@ -213,6 +214,7 @@ def reference_models() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_top5": M.knn_lsh_top5,
         "knn_ivf_top5": M.knn_ivf_top5,
         "multimodal_features": M.multimodal_features,
+        "image_resize": M.image_resize,
         "repetition_stats": M.repetition_stats,
         "pack_bins": M.pack_bins,
     }

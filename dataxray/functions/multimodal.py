@@ -265,3 +265,55 @@ def synth_ppm_bytes(key: int, w: int = 16, h: int = 12) -> bytes:
     b = (xx + yy + key * 7) % 256
     img = np.stack([r, g, b], axis=-1).astype(np.uint8)
     return b"P6\n" + f"{w} {h}\n255\n".encode() + img.tobytes()
+
+
+class PpmResizer:
+    """Actor-pool image RESIZE stage — real, library-free: decode binary-P6
+    PPM, nearest-neighbor resample to (out_w, out_h) with pure numpy index
+    arithmetic, re-encode as P6. The canonical 'media transform' shape:
+    binary column in, binary column out, metadata alongside — a PIL/ffmpeg
+    decoder drops into the same signature for compressed codecs.
+
+    Nearest-neighbor index: src_i = floor((i + 0.5) * src/dst) — the
+    standard center-aligned mapping, reproducible by any reference
+    implementation."""
+
+    def __init__(self, binary_col: str = "payload", out_w: int = 16,
+                 out_h: int = 16, out_col: str = "resized"):
+        self.col = binary_col
+        self.w, self.h = out_w, out_h
+        self.out_col = out_col
+
+    def resize_one(self, b: bytes) -> bytes | None:
+        dec = PpmDecoder.decode_one(b) if b else None
+        if dec is None:
+            return None
+        w, h, img = dec
+        xi = np.minimum(((np.arange(self.w) + 0.5) * w / self.w)
+                        .astype(np.int64), w - 1)
+        yi = np.minimum(((np.arange(self.h) + 0.5) * h / self.h)
+                        .astype(np.int64), h - 1)
+        small = img[yi[:, None], xi[None, :]]
+        header = f"P6\n{self.w} {self.h}\n255\n".encode()
+        return header + small.tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self.resize_one(b)
+               for b in batch[self.col].to_pylist()]
+        ok = np.array([o is not None for o in out])
+        return _emit(batch, self.col, {
+            "decoded_ok": pa.array(ok),
+            self.out_col: pa.array([o if o is not None else b"" for o in out],
+                                   pa.large_binary()),
+        })
+
+
+def resize_images(ds, binary_col: str = "payload", out_w: int = 16,
+                  out_h: int = 16, concurrency: int = 4,
+                  batch_size: int = 256):
+    """Distributed image resize: actor pool (setup once per actor), small
+    batches because rows are binary payloads."""
+    return ds.map_batches(
+        PpmResizer, fn_constructor_args=(binary_col, out_w, out_h),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

@@ -324,3 +324,37 @@ def pack_bins(sf_dir: str, max_tokens: int = 256,
     return pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
                      "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
                      "bin_id": pa.array(rows["bin_id"], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# image_resize — independent pixel-level reimplementation (synth + parse +
+# center-aligned nearest-neighbor + P6 re-encode + md5)
+# ---------------------------------------------------------------------------
+
+
+def image_resize(sf_dir: str, out_w: int = 4, out_h: int = 3,
+                 w: int = 16, h: int = 12) -> pa.Table:
+    import hashlib
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id"])
+    rows = {"doc_id": [], "decoded_ok": [], "resized_md5": []}
+    for did in t["doc_id"].to_pylist():
+        key = int(did)
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = (xx * 255 // max(w - 1, 1) + key) % 256
+        g = (yy * 255 // max(h - 1, 1) + key * 3) % 256
+        b = (xx + yy + key * 7) % 256
+        img = np.stack([r, g, b], axis=-1).astype(np.uint8)
+        xi = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(int),
+                        w - 1)
+        yi = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(int),
+                        h - 1)
+        small = img[yi][:, xi]
+        enc = (f"P6\n{out_w} {out_h}\n255\n".encode() + small.tobytes())
+        rows["doc_id"].append(key)
+        rows["decoded_ok"].append(True)
+        rows["resized_md5"].append(hashlib.md5(enc).hexdigest())
+    return pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
+                     "decoded_ok": pa.array(rows["decoded_ok"], pa.bool_()),
+                     "resized_md5": pa.array(rows["resized_md5"], pa.string())})

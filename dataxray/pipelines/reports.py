@@ -1108,3 +1108,30 @@ def multimodal_features(sf_dir: str):
     binry = ds.map_batches(attach_payload, batch_format="pyarrow")
     return extract_features(binry, binary_col="payload", feature_dim=8,
                             concurrency=2, decoder="wav")
+
+
+def image_resize(sf_dir: str):
+    """REAL image resize over binary payloads: deterministic P6 PPM images
+    synthesized per doc, nearest-neighbor resampled by the library-free
+    actor-pool stage; the result ships as binary P6 again (binary in,
+    binary out — the media-transform contract). Py-model oracle re-derives
+    every output byte independently."""
+    from ..functions.multimodal import resize_images, synth_ppm_bytes
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        ppms = [synth_ppm_bytes(int(k)) for k in
+                t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)]
+        return t.append_column("payload", pa.array(ppms, pa.large_binary()))
+
+    binry = ds.map_batches(attach, batch_format="pyarrow")
+    out = resize_images(binry, binary_col="payload", out_w=4, out_h=3,
+                        concurrency=2)
+    return out.map_batches(
+        lambda t: t.append_column(
+            "resized_md5", pc.cast(pa.array(
+                [__import__("hashlib").md5(b or b"").hexdigest()
+                 for b in t["resized"].to_pylist()], pa.string()),
+                pa.string())).drop_columns(["resized"]),
+        batch_format="pyarrow")

@@ -362,3 +362,28 @@ def test_pack_sequences_budget_and_invariance():
     for bin_id, grp in a.groupby("bin_id"):
         assert grp["n_tokens"].sum() <= 100 or len(grp) == 1
     assert set(a["doc_id"]) == set(range(len(texts)))
+
+
+def test_ppm_resize_real_pixels():
+    import ray.data
+
+    from dataxray.functions.multimodal import PpmDecoder, resize_images
+
+    # 4x2 image with distinct pixel colors
+    px = bytes(range(4 * 2 * 3))
+    img = b"P6\n4 2\n255\n" + px
+    t = pa.table({"vid": pa.array([0, 1], pa.int64()),
+                  "payload": pa.array([img, b"not an image"],
+                                      pa.large_binary())})
+    out = resize_images(ray.data.from_arrow(t), out_w=2, out_h=1,
+                        concurrency=1).to_pandas().sort_values("vid")
+    assert out["decoded_ok"].tolist() == [True, False]
+    resized = out["resized"].iloc[0]
+    w, h, small = PpmDecoder.decode_one(resized)[0], \
+        PpmDecoder.decode_one(resized)[1], PpmDecoder.decode_one(resized)[2]
+    assert (w, h) == (2, 1)
+    # center-aligned nearest neighbor: xi = floor((i+.5)*4/2) = 1, 3
+    import numpy as np
+
+    full = np.frombuffer(px, dtype=np.uint8).reshape(2, 4, 3)
+    assert (small == full[[1]][:, [1, 3]]).all()
