@@ -55,6 +55,13 @@ class ReplayConfig:
     # per-block sorts buy nothing. "sort" = Ray groupby shuffle (keeps the
     # generic path exercised; the salted pre-merge stage always uses it).
     exchange: str = "direct"
+    # 2 = two-level direct exchange (split → √P coarse groups → fan-out):
+    # cuts driver ObjectRef bookkeeping from O(split_tasks×P) to
+    # O(split_tasks×√P + split_tasks×P/regroup) at the cost of one extra
+    # task hop per row. Worth it when split_tasks×P is large (big cluster /
+    # many partitions); None = env DATAXRAY_EXCHANGE_LEVELS, default 1.
+    exchange_levels: int | None = None
+    exchange_regroup: int | None = None  # level-1 slices per fan-out task
     sink_mode: str = "rewrite"  # "delta": append per-epoch LWW winners, resolve on read
     history: bool = False  # retain every committed version (time travel / CDF)
     compact_threshold: int = 8  # delta files per partition before auto-compaction
@@ -341,7 +348,9 @@ def replay(
 
         fuse = _AssignCombineFuse(cfg) if fused_direct else None
         meta_rows = direct_exchange(ds, cfg.num_partitions, _merge_tables,
-                                    merge_kwargs, fuse_fn=fuse)
+                                    merge_kwargs, fuse_fn=fuse,
+                                    levels=cfg.exchange_levels,
+                                    regroup=cfg.exchange_regroup)
     else:
         def merge_and_stage(group: pa.Table) -> pa.Table:
             """Per-partition final merge; writes new state to staging, emits

@@ -197,3 +197,52 @@ def test_single_partition_direct_exchange(data_dir, oracle_df, tmp_path):
            pages_path=os.path.join(data_dir, "pages.parquet"),
            cfg=ReplayConfig(num_partitions=1, exchange="direct"))
     assert_matches_oracle(lake, oracle_df)
+
+
+def test_two_level_exchange_matches_oracle(data_dir, oracle_df, tmp_path):
+    """levels=2 (split -> coarse groups -> fan-out) must produce the exact
+    same lake state as the single-level exchange, including on a P whose
+    sqrt grouping leaves a narrow last group (P=7 -> widths 3,3,1, which
+    exercises the num_returns=1 fan-out shape)."""
+    for p in (8, 7):
+        lake = str(tmp_path / f"lake_2l_{p}")
+        rep = replay(os.path.join(data_dir, "events"), lake,
+                     pages_path=os.path.join(data_dir, "pages.parquet"),
+                     cfg=ReplayConfig(num_partitions=p, exchange="direct",
+                                      exchange_levels=2, exchange_regroup=2))
+        assert rep.partitions_committed == p
+        assert_matches_oracle(lake, oracle_df)
+        rep2 = replay(os.path.join(data_dir, "events"), lake,
+                      cfg=ReplayConfig(num_partitions=p, exchange="direct",
+                                       exchange_levels=2))
+        assert rep2.partitions_committed == 0
+
+
+def test_two_level_exchange_unit_semantics(tmp_path):
+    """Unit-level: both exchange shapes deliver every row to exactly its
+    _part's merge, with empty blocks and skewed parts in the mix."""
+    import numpy as np
+    import ray.data
+
+    from dataxray.schema import PART_COL
+    from dataxray.stages.exchange import direct_exchange
+
+    rng = np.random.default_rng(7)
+    n, p = 5000, 13
+    parts = np.concatenate([rng.integers(0, p, n - 1000),
+                            np.full(1000, 3)]).astype(np.int32)  # skew p=3
+    vals = np.arange(len(parts), dtype=np.int64)
+    t = pa.table({PART_COL: pa.array(parts), "v": pa.array(vals)})
+    want = {int(q): int(vals[parts == q].sum()) for q in range(p)}
+
+    def merge_fn(q, tables):
+        tot = sum(int(pa.Table.column(x, "v").combine_chunks()
+                      .to_numpy().sum()) for x in tables if len(x))
+        return {"partition": q, "sum": tot}
+
+    for levels in (1, 2):
+        ds = ray.data.from_arrow(t).repartition(37)  # force empty/small blocks
+        got = {m["partition"]: m["sum"]
+               for m in direct_exchange(ds, p, lambda q, ts: merge_fn(q, ts),
+                                        {}, levels=levels, regroup=3)}
+        assert got == {q: s for q, s in want.items()}, levels
