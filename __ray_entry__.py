@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from dataxray.functions import sketches as _SK
 from dataxray.pipelines import reports as R
 
 
@@ -72,6 +73,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_ids": R.embedding_dup_ids,
         "ngram_jaccard_dups": R.ngram_jaccard_dups,
         "langid_pred": R.langid_pred,
+        # --- sketches / sampling / quantiles ---
+        "quantiles_price_by_priority": R.quantiles_price_by_priority,
+        "sample_hash_events": R.sample_hash_events,
+        "stratified_sample_events": R.stratified_sample_events,
+        "hll_distinct_users": R.hll_distinct_users,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -217,6 +223,7 @@ def reference_models() -> dict[str, Callable[[str], Any]]:
         "image_resize": M.image_resize,
         "repetition_stats": M.repetition_stats,
         "pack_bins": M.pack_bins,
+        "hll_distinct_users": M.hll_distinct_users,
     }
 
 
@@ -422,5 +429,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM d a JOIN d b ON a.doc_id < b.doc_id "
             "WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) "
             "/ len(list_distinct(a.g || b.g)) >= 0.7"
+        ),
+        # discrete quantiles (actual elements, bit-exact) on price cents
+        "quantiles_price_by_priority": (
+            "SELECT o_orderpriority, "
+            "quantile_disc(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.25) AS p25_c, "
+            "quantile_disc(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.50) AS p50_c, "
+            "quantile_disc(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.75) AS p75_c, "
+            "quantile_disc(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.95) AS p95_c, "
+            "count(*) AS n_rows FROM orders GROUP BY o_orderpriority"
+        ),
+        # deterministic Bernoulli sample: splitmix64 reproduced in SQL via
+        # HUGEINT 32-bit-limb arithmetic (functions/sketches.splitmix64_sql)
+        "sample_hash_events": (
+            "SELECT event_id, user_id, event_type FROM events "
+            f"WHERE {_SK.sample_threshold_sql('event_id', 0.1)}"
+        ),
+        "stratified_sample_events": (
+            "SELECT event_type, event_id, user_id FROM ("
+            "SELECT event_type, event_id, user_id, row_number() OVER ("
+            "PARTITION BY event_type "
+            f"ORDER BY {_SK.splitmix64_sql('event_id')}, event_id) AS rn "
+            "FROM events) WHERE rn <= 50"
         ),
     }

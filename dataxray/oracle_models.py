@@ -358,3 +358,42 @@ def image_resize(sf_dir: str, out_w: int = 4, out_h: int = 3,
     return pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
                      "decoded_ok": pa.array(rows["decoded_ok"], pa.bool_()),
                      "resized_md5": pa.array(rows["resized_md5"], pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct_users — independent pure-Python HLL (per-row int arithmetic;
+# no numpy hashing shared with the engine kernel)
+# ---------------------------------------------------------------------------
+
+
+def _splitmix64_py(x: int) -> int:
+    M = (1 << 64) - 1
+    z = (x + 0x9E3779B97F4A7C15) & M
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+    return z ^ (z >> 31)
+
+
+def hll_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["user_id"])
+    m = 1 << p
+    regs = [0] * m
+    mask = (1 << 64) - 1
+    for v in t["user_id"].to_pylist():
+        h = _splitmix64_py(int(v))
+        b = h >> (64 - p)
+        suffix = (h << p) & mask
+        lz = 64 - suffix.bit_length()
+        rank = min(lz, 64 - p) + 1
+        if rank > regs[b]:
+            regs[b] = rank
+    alpha = 0.7213 / (1 + 1.079 / m)
+    denom = sum(1 << (64 - r) for r in regs)
+    est = alpha * m * m * 2.0 ** 64 / float(denom)
+    if est <= 2.5 * m:
+        zeros = regs.count(0)
+        if zeros:
+            est = m * float(np.log(m / zeros))
+    return pa.table({"column": pa.array(["user_id"]),
+                     "hll_estimate": pa.array([int(round(est))], pa.int64())})

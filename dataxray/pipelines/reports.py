@@ -1135,3 +1135,62 @@ def image_resize(sf_dir: str):
                  for b in t["resized"].to_pylist()], pa.string()),
                 pa.string())).drop_columns(["resized"]),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sketches, sampling, quantiles (functions/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def hll_distinct_users(sf_dir: str) -> pa.Table:
+    """Approximate COUNT(DISTINCT user_id) over events via distributed
+    HyperLogLog (p=12, ±1.6% std error): per-block partial registers,
+    elementwise-max reduce of 4 KiB sketches. Deterministic — the py-model
+    oracle re-derives the identical estimate from an independent pure-
+    Python register pass."""
+    from ..functions.sketches import hll_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = hll_distinct(ds, "user_id", p=12)
+    return pa.table({"column": pa.array(["user_id"]),
+                     "hll_estimate": pa.array([est], pa.int64())})
+
+
+def quantiles_price_by_priority(sf_dir: str):
+    """Exact per-group discrete quantiles (DuckDB quantile_disc semantics:
+    sorted[ceil(q*n)-1]) of order price in cents, grouped by priority.
+    Discrete quantiles return an actual element, so the oracle hash match
+    is bit-exact — no interpolation ulps."""
+    from ..functions.sketches import grouped_quantiles
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    cents = ds.map_batches(
+        lambda t: t.append_column(
+            "price_c", _as_scaled_int(t["o_totalprice"], 100))
+        .drop_columns(["o_totalprice"]),
+        batch_format="pyarrow")
+    return grouped_quantiles(cents, "o_orderpriority", "price_c",
+                             {"p25_c": 0.25, "p50_c": 0.50,
+                              "p75_c": 0.75, "p95_c": 0.95})
+
+
+def sample_hash_events(sf_dir: str, frac: float = 0.1):
+    """Deterministic Bernoulli sample of events: keep rows with
+    splitmix64(event_id) < frac*2^64. Stateless per-batch filter, no
+    shuffle; the SQL oracle reproduces the hash bit-exactly (HUGEINT
+    limb arithmetic, functions/sketches.py splitmix64_sql)."""
+    from ..functions.sketches import sample_hash
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    return sample_hash(ds, "event_id", frac)
+
+
+def stratified_sample_events(sf_dir: str, n: int = 50):
+    """Deterministic n-per-stratum sample: the n events with the smallest
+    splitmix64(event_id) per event_type. Per-block partial top-n bounds
+    the shuffle to <= n rows per (block, stratum)."""
+    from ..functions.sketches import stratified_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    return (stratified_sample(ds, "event_type", "event_id", n)
+            .select_columns(["event_type", "event_id", "user_id"]))
