@@ -78,6 +78,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash_events": R.sample_hash_events,
         "stratified_sample_events": R.stratified_sample_events,
         "hll_distinct_users": R.hll_distinct_users,
+        # --- ELT surface: JSON, flat_map, collect, outer joins ---
+        "json_extract_props": R.json_extract_props,
+        "doc_term_rows": R.doc_term_rows,
+        "collect_langs_by_source": R.collect_langs_by_source,
+        "left_join_customer_orders": R.left_join_customer_orders,
+        "full_outer_join_keys": R.full_outer_join_keys,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -451,5 +457,35 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY event_type "
             f"ORDER BY {_SK.splitmix64_sql('event_id')}, event_id) AS rn "
             "FROM events) WHERE rn <= 50"
+        ),
+        "json_extract_props": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT) AS k FROM events"
+        ),
+        "doc_term_rows": (
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            "FROM documents WHERE doc_id < 50"
+        ),
+        "collect_langs_by_source": (
+            "SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs, "
+            "count(*) AS n_langs FROM "
+            "(SELECT DISTINCT source, lang FROM documents) GROUP BY source"
+        ),
+        "left_join_customer_orders": (
+            "SELECT c_custkey, c_mktsegment, "
+            "coalesce(o_orderkey, -1) AS o_orderkey_f "
+            "FROM customer LEFT JOIN orders ON o_custkey = c_custkey"
+        ),
+        "full_outer_join_keys": (
+            "WITH m AS (SELECT max(c_custkey) AS mx FROM customer), "
+            "c AS (SELECT c_custkey, c_nationkey FROM customer, m "
+            "WHERE c_custkey <= (mx * 2) // 3), "
+            "o AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100, 0) "
+            "AS BIGINT)) AS BIGINT) AS spend_c FROM orders, m "
+            "WHERE o_custkey >= mx // 3 GROUP BY o_custkey) "
+            "SELECT coalesce(c_custkey, o_custkey) AS custkey, "
+            "coalesce(c_nationkey, -1) AS nationkey_f, "
+            "coalesce(spend_c, -1) AS spend_c_f "
+            "FROM c FULL OUTER JOIN o ON c_custkey = o_custkey"
         ),
     }

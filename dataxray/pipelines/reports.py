@@ -1194,3 +1194,135 @@ def stratified_sample_events(sf_dir: str, n: int = 50):
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
     return (stratified_sample(ds, "event_type", "event_id", n)
             .select_columns(["event_type", "event_id", "user_id"]))
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction, flat_map expansion, collect, outer joins
+# ---------------------------------------------------------------------------
+
+
+def json_extract_props(sf_dir: str):
+    """Vectorized JSON field extraction from the events props column
+    (polars str.json_path_match inside map_batches — no per-row Python
+    json.loads). The ELT 'parse the payload' stage every CDC/log pipeline
+    has; oracle is DuckDB json_extract_string."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        k = (pl.from_arrow(t["props"]).rename("props")
+             .str.json_path_match("$.k").cast(pl.Int64))
+        return pa.table({"event_id": t["event_id"],
+                         "k": k.to_arrow().cast(pa.int64())})
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def doc_term_rows(sf_dir: str):
+    """Row-expansion (flat_map analog), fully vectorized: split each text
+    on single spaces into a list column, flatten with list_parent_indices
+    — one output row per term, no Python loop. Bounded to doc_id < 50 to
+    keep the gate result small; the operator itself streams at any scale
+    (per-batch expansion, no shuffle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id"], 50))
+        if len(t) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string())})
+        lists = pc.split_pattern(t["text"].combine_chunks(), " ")
+        parents = pc.list_parent_indices(lists)
+        return pa.table({
+            "doc_id": t["doc_id"].take(parents),
+            "term": pc.list_flatten(lists),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def collect_langs_by_source(sf_dir: str):
+    """Grouped ordered collect (string_agg analog): per source, the sorted
+    distinct languages joined with ','. Distinct-before-shuffle: each block
+    emits its (source, lang) pairs deduped, the groupby sees keys only."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def dedup_block(t: pa.Table) -> pa.Table:
+        return t.group_by(["source", "lang"]).aggregate([])
+
+    def collect(g: pa.Table) -> pa.Table:
+        langs = sorted(set(g["lang"].to_pylist()))
+        return pa.table({"source": pa.array([g["source"][0].as_py()]),
+                         "langs": pa.array([",".join(langs)]),
+                         "n_langs": pa.array([len(langs)], pa.int64())})
+
+    return (ds.map_batches(dedup_block, batch_format="pyarrow")
+            .groupby("source").map_groups(collect, batch_format="pyarrow"))
+
+
+def left_join_customer_orders(sf_dir: str):
+    """Row-level LEFT OUTER join (Dataset.join, both sides hash-shuffled):
+    every customer row survives; customers with no orders carry
+    o_orderkey=-1 (COALESCE'd on both sides so the int64 schema is
+    null-free and hash-comparable)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = cust.join(orders, join_type="left_outer", num_partitions=16,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def clean(t: pa.Table) -> pa.Table:
+        key = pc.fill_null(pc.cast(t["o_orderkey"], pa.int64()), -1)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_mktsegment": t["c_mktsegment"],
+                         "o_orderkey_f": key})
+
+    return joined.map_batches(clean, batch_format="pyarrow")
+
+
+def full_outer_join_keys(sf_dir: str):
+    """FULL OUTER join on two key sets with partial overlap (customers
+    ≤1000 × aggregated order spend for custkeys ≥500), so all three row
+    classes (left-only / both / right-only) appear. Uses the cogroup full
+    outer (functions/joins.py) — Ray's native full_outer crashes on empty
+    hash partitions, which sparse filtered sides like these hit. Nulls
+    COALESCE'd to -1 for hash-exact oracle comparison."""
+    from ..functions.joins import full_outer_groupjoin
+
+    # scale-relative overlap window: left keeps custkey <= 2/3·max, right
+    # keeps custkey >= 1/3·max (same subqueries in the SQL oracle)
+    max_ck = int(pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey"])["c_custkey"]
+                 .combine_chunks().to_numpy().max())
+    lo_thr, hi_thr = max_ck // 3, (max_ck * 2) // 3
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda t: t.filter(pc.less_equal(t["c_custkey"],
+                                                      hi_thr)),
+                     batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def agg_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_custkey"], lo_thr))
+        t = t.append_column("price_c", _as_scaled_int(t["o_totalprice"], 100))
+        return pa.TableGroupBy(t, "o_custkey").aggregate([("price_c", "sum")])
+
+    from ray.data.aggregate import Sum
+
+    o_agg = (orders.map_batches(agg_orders, batch_format="pyarrow")
+             .groupby("o_custkey").aggregate(Sum("price_c_sum",
+                                                 alias_name="spend_c")))
+    joined = full_outer_groupjoin(
+        cust, o_agg, "c_custkey", "o_custkey",
+        {"c_nationkey": pa.int64()}, {"spend_c": pa.int64()},
+        key_out="custkey")
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": pc.cast(t["custkey"], pa.int64()),
+            "nationkey_f": pc.fill_null(pc.cast(t["c_nationkey"],
+                                                pa.int64()), -1),
+            "spend_c_f": pc.fill_null(pc.cast(t["spend_c"], pa.int64()), -1),
+        })
+
+    return joined.map_batches(clean, batch_format="pyarrow")

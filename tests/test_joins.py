@@ -1,0 +1,38 @@
+"""Cogroup full outer join (dataxray/functions/joins.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dataxray.functions.joins import full_outer_groupjoin
+
+
+def _ds(t, blocks=4):
+    import ray.data
+
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def test_full_outer_groupjoin_all_row_classes():
+    l = pa.table({"k": pa.array([1, 2, 2, 3], pa.int64()),
+                  "a": pa.array([10, 20, 21, 30], pa.int64())})
+    r = pa.table({"j": pa.array([2, 2, 4], pa.int64()),
+                  "b": pa.array([200, 201, 400], pa.int64())})
+    out = (full_outer_groupjoin(_ds(l), _ds(r), "k", "j",
+                                {"a": pa.int64()}, {"b": pa.int64()})
+           .to_pandas().sort_values(["key", "a", "b"], na_position="first")
+           .reset_index(drop=True))
+    # key 1,3: left-only; key 2: 2x2 cross; key 4: right-only
+    assert len(out) == 2 + 4 + 1
+    k2 = out[out.key == 2]
+    assert sorted(zip(k2.a, k2.b)) == [(20, 200), (20, 201),
+                                       (21, 200), (21, 201)]
+    assert out[out.key == 4].a.isna().all()
+    assert out[out.key.isin([1, 3])].b.isna().all()
+
+
+def test_full_outer_groupjoin_collision_raises():
+    l = pa.table({"k": pa.array([1], pa.int64()), "x": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError):
+        full_outer_groupjoin(_ds(l, 1), _ds(l, 1), "k", "k",
+                             {"x": pa.int64()}, {"x": pa.int64()})
