@@ -84,6 +84,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collect_langs_by_source": R.collect_langs_by_source,
         "left_join_customer_orders": R.left_join_customer_orders,
         "full_outer_join_keys": R.full_outer_join_keys,
+        "cumsum_user_value": R.cumsum_user_value,
+        "lag_prev_value": R.lag_prev_value,
+        "agg_rollup_flags": R.agg_rollup_flags,
+        "cms_user_counts": R.cms_user_counts,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -230,6 +234,7 @@ def reference_models() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": M.repetition_stats,
         "pack_bins": M.pack_bins,
         "hll_distinct_users": M.hll_distinct_users,
+        "cms_user_counts": M.cms_user_counts,
     }
 
 
@@ -487,5 +492,24 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(c_nationkey, -1) AS nationkey_f, "
             "coalesce(spend_c, -1) AS spend_c_f "
             "FROM c FULL OUTER JOIN o ON c_custkey = o_custkey"
+        ),
+        "cumsum_user_value": (
+            "SELECT event_id, user_id, "
+            "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+            "AS running_c FROM events"
+        ),
+        "lag_prev_value": (
+            "SELECT event_id, user_id, "
+            "coalesce(lag(CAST(round(value * 100, 0) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id), -1) "
+            "AS prev_value_c FROM events"
+        ),
+        "agg_rollup_flags": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS l_linestatus, "
+            "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) "
+            "AS BIGINT) AS rev_c, count(*) AS n_rows "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
     }

@@ -223,3 +223,57 @@ def grouped_quantiles(ds, key_col: str, val_col: str, qs: dict[str, float]):
 
     proj = ds.select_columns([key_col, val_col])
     return proj.groupby(key_col).map_groups(agg, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (heavy-hitter counts)
+# ---------------------------------------------------------------------------
+
+CMS_SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+
+def cms_partial(keys: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """One block's count-min counters: depth independent splitmix64 hash
+    rows (key xor per-row seed), width buckets each. Integer adds are
+    commutative/associative, so partials merge by elementwise sum in any
+    order — bit-exact in any engine."""
+    k = keys.astype(_U64, copy=False)
+    counts = np.zeros((depth, width), dtype=np.int64)
+    for d in range(depth):
+        idx = (splitmix64(k ^ _U64(CMS_SEEDS[d % len(CMS_SEEDS)]))
+               % _U64(width)).astype(np.int64)
+        np.add.at(counts[d], idx, 1)
+    return counts
+
+
+def cms_query(counts: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point estimates: min over depth rows (classic CM upper bound)."""
+    k = keys.astype(_U64, copy=False)
+    depth, width = counts.shape
+    est = np.full(len(k), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        idx = (splitmix64(k ^ _U64(CMS_SEEDS[d % len(CMS_SEEDS)]))
+               % _U64(width)).astype(np.int64)
+        np.minimum(est, counts[d, idx], out=est)
+    return est
+
+
+def cms_counts(ds, col: str, query_keys: np.ndarray,
+               depth: int = 4, width: int = 2048) -> np.ndarray:
+    """Distributed CM sketch build + point query: per-block partial
+    counters (depth×width int64 ≈ 64 KiB at the defaults), summed — the
+    reduce input is metadata-sized, like the HLL registers."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[col].combine_chunks().to_numpy(zero_copy_only=False)
+        c = cms_partial(vals, depth, width)
+        return pa.table({"c": pa.array([c.ravel().tolist()],
+                                       pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    total = np.zeros(depth * width, dtype=np.int64)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for r in b["c"].to_pylist():
+            total += np.asarray(r, dtype=np.int64)
+    return cms_query(total.reshape(depth, width), query_keys)

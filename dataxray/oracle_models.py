@@ -397,3 +397,25 @@ def hll_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
             est = m * float(np.log(m / zeros))
     return pa.table({"column": pa.array(["user_id"]),
                      "hll_estimate": pa.array([int(round(est))], pa.int64())})
+
+
+def cms_user_counts(sf_dir: str, depth: int = 4, width: int = 2048) -> pa.Table:
+    """Independent pure-Python count-min: per-row dict updates, then min
+    over rows — no numpy hashing shared with the engine kernel."""
+    seeds = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5)
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["user_id"])
+    rows = [dict() for _ in range(depth)]
+    for v in t["user_id"].to_pylist():
+        for d in range(depth):
+            b = _splitmix64_py(int(v) ^ seeds[d]) % width
+            rows[d][b] = rows[d].get(b, 0) + 1
+    out_ids, out_est = [], []
+    for q in range(20):
+        est = min(rows[d].get(_splitmix64_py(q ^ seeds[d]) % width, 0)
+                  for d in range(depth))
+        out_ids.append(q)
+        out_est.append(est)
+    return pa.table({"user_id": pa.array(out_ids, pa.int64()),
+                     "est_count": pa.array(out_est, pa.int64())})

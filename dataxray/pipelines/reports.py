@@ -1326,3 +1326,108 @@ def full_outer_join_keys(sf_dir: str):
         })
 
     return joined.map_batches(clean, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Ordered window analytics + rollup
+# ---------------------------------------------------------------------------
+
+
+def cumsum_user_value(sf_dir: str):
+    """Running total per user ordered by event time (SUM OVER PARTITION BY
+    ... ORDER BY analog): one shuffle on user_id, per-group vectorized sort
+    + np.cumsum on exact cents. Per-group memory O(user's events) — the
+    window-partition assumption every engine's ordered window makes."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts": t["ts"],
+                         "value_c": _as_scaled_int(t["value"], 100)})
+
+    def window(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        run = np.cumsum(g["value_c"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        return pa.table({"event_id": g["event_id"], "user_id": g["user_id"],
+                         "running_c": pa.array(run, pa.int64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id").map_groups(window, batch_format="pyarrow"))
+
+
+def lag_prev_value(sf_dir: str):
+    """LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id): the
+    previous event's value in cents, -1 for each user's first event."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts": t["ts"],
+                         "value_c": _as_scaled_int(t["value"], 100)})
+
+    def window(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        v = g["value_c"].combine_chunks().to_numpy(zero_copy_only=False)
+        prev = np.concatenate([[-1], v[:-1]])
+        return pa.table({"event_id": g["event_id"], "user_id": g["user_id"],
+                         "prev_value_c": pa.array(prev, pa.int64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id").map_groups(window, batch_format="pyarrow"))
+
+
+def agg_rollup_flags(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): finest level computed
+    with the partial-agg + small-groupby pattern, coarser levels derived by
+    RE-AGGREGATING THE FINEST RESULT (a few rows), not the base table —
+    each rollup level costs O(finer level), the scale-correct shape."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("base_c", _as_scaled_int(t["l_extendedprice"], 100))
+        t = t.append_column("one", pa.nulls(len(t), pa.int64()).fill_null(1))
+        return pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("base_c", "sum"), ("one", "sum")])
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("base_c_sum", alias_name="rev_c"),
+                       Sum("one_sum", alias_name="n_rows")))
+    ft = pa.concat_tables(
+        [b for b in fine.iter_batches(batch_format="pyarrow")],
+        promote_options="permissive")
+
+    levels = [ft]
+    mid = pa.TableGroupBy(ft, "l_returnflag").aggregate(
+        [("rev_c", "sum"), ("n_rows", "sum")])
+    levels.append(pa.table({
+        "l_returnflag": mid["l_returnflag"],
+        "l_linestatus": pa.array(["ALL"] * len(mid)),
+        "rev_c": mid["rev_c_sum"], "n_rows": mid["n_rows_sum"]}))
+    top = pa.TableGroupBy(
+        ft.append_column("g", pa.array([0] * len(ft), pa.int8())),
+        "g").aggregate([("rev_c", "sum"), ("n_rows", "sum")])
+    levels.append(pa.table({
+        "l_returnflag": pa.array(["ALL"] * len(top)),
+        "l_linestatus": pa.array(["ALL"] * len(top)),
+        "rev_c": top["rev_c_sum"], "n_rows": top["n_rows_sum"]}))
+    cols = ["l_returnflag", "l_linestatus", "rev_c", "n_rows"]
+    return pa.concat_tables([t.select(cols) for t in levels],
+                            promote_options="permissive")
+
+
+def cms_user_counts(sf_dir: str):
+    """Count-min sketch event counts for user_ids 0..19 (d=4, w=2048):
+    per-block partial counters summed (order-independent integer adds, so
+    the independent py-model reproduces every estimate exactly)."""
+    from ..functions.sketches import cms_counts
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    qk = np.arange(20, dtype=np.int64)
+    est = cms_counts(ds, "user_id", qk)
+    return pa.table({"user_id": pa.array(qk, pa.int64()),
+                     "est_count": pa.array(est, pa.int64())})

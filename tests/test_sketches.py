@@ -140,3 +140,24 @@ def test_stratified_sample_fewer_rows_than_n():
                   "k": pa.array([1, 2, 3], pa.int64())})
     out = stratified_sample(_ds(t, 8), "g", "k", 10).to_pandas()
     assert len(out) == 3  # strata smaller than n keep all rows
+
+
+def test_cms_accuracy_and_order_independence():
+    from dataxray.functions.sketches import cms_counts, cms_partial, cms_query
+
+    rng = np.random.default_rng(6)
+    # zipf-ish: user 0 hot, tail sparse
+    vals = np.concatenate([np.zeros(5000, dtype=np.int64),
+                           rng.integers(1, 500, 5000)])
+    exact = np.array([(vals == q).sum() for q in range(20)])
+    t = pa.table({"u": pa.array(vals, pa.int64())})
+    est = cms_counts(_ds(t, 16), "u", np.arange(20, dtype=np.int64))
+    # CM estimates are upper bounds within eps*N w.h.p.
+    assert (est >= exact).all()
+    assert (est <= exact + 2 * len(vals) / 2048 + 10).all()
+    # merge order independence: split partials arbitrarily, same counters
+    one = cms_partial(vals, 4, 2048)
+    parts = np.array_split(vals, 7)
+    summed = sum(cms_partial(p_, 4, 2048) for p_ in parts[::-1])
+    assert (one == summed).all()
+    assert (cms_query(one, np.arange(20)) == est).all()
