@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_prev_value": R.lag_prev_value,
         "agg_rollup_flags": R.agg_rollup_flags,
         "cms_user_counts": R.cms_user_counts,
+        "mode_event_type_per_user": R.mode_event_type_per_user,
+        "ntile_orders_price": R.ntile_orders_price,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -511,5 +513,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) "
             "AS BIGINT) AS rev_c, count(*) AS n_rows "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "mode_event_type_per_user": (
+            "SELECT user_id, event_type AS mode_type, cnt AS mode_count "
+            "FROM (SELECT user_id, event_type, count(*) AS cnt, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
+        ),
+        "ntile_orders_price": (
+            "SELECT o_orderkey, o_orderpriority, "
+            "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c, "
+            "ntile(4) OVER (PARTITION BY o_orderpriority "
+            "ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC, "
+            "o_orderkey) AS tile FROM orders"
         ),
     }

@@ -42,6 +42,8 @@ QUERY_NAMES = [
     "token_stats", "knn_cosine_top5", "session_windows", "global_topk_orders",
     "anti_join_bloom", "langid_pred", "minhash_dedup", "knn_ivf_top5",
     "cdc_incremental_agg", "interval_join_windows_tb",
+    "hll_distinct_users", "json_extract_props", "cumsum_user_value",
+    "stratified_sample_events",
 ]
 
 

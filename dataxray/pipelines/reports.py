@@ -1431,3 +1431,53 @@ def cms_user_counts(sf_dir: str):
     est = cms_counts(ds, "user_id", qk)
     return pa.table({"user_id": pa.array(qk, pa.int64()),
                      "est_count": pa.array(est, pa.int64())})
+
+
+def mode_event_type_per_user(sf_dir: str):
+    """Per-user modal event type with deterministic tie-break (highest
+    count, then lexicographically smallest type). Counts pre-aggregated
+    per block (combine-before-shuffle), so the per-user group is at most
+    n_event_types rows."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("one", pa.nulls(len(t), pa.int64()).fill_null(1))
+        return pa.TableGroupBy(t, ["user_id", "event_type"]).aggregate(
+            [("one", "sum")])
+
+    def pick(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("one_sum", "descending"), ("event_type", "ascending")])
+        return pa.table({"user_id": g["user_id"].slice(0, 1),
+                         "mode_type": g["event_type"].slice(0, 1),
+                         "mode_count": g["one_sum"].slice(0, 1)})
+
+    from ray.data.aggregate import Sum
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["user_id", "event_type"])
+              .aggregate(Sum("one_sum", alias_name="one_sum")))
+    return counts.groupby("user_id").map_groups(pick, batch_format="pyarrow")
+
+
+def ntile_orders_price(sf_dir: str, k: int = 4):
+    """NTILE(k) per order priority over (price desc, orderkey): standard
+    SQL semantics — the first n % k tiles hold ceil(n/k) rows."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "price_c": _as_scaled_int(t["o_totalprice"], 100)})
+
+    def tile(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("price_c", "descending"), ("o_orderkey", "ascending")])
+        n = len(g)
+        big, rem = n // k + 1, n % k
+        sizes = [big] * rem + [n // k] * (k - rem)
+        tiles = np.repeat(np.arange(1, k + 1, dtype=np.int64), sizes)
+        return g.append_column("tile", pa.array(tiles[:n]))
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("o_orderpriority").map_groups(tile,
+                                                   batch_format="pyarrow"))

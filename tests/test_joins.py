@@ -36,3 +36,31 @@ def test_full_outer_groupjoin_collision_raises():
     with pytest.raises(ValueError):
         full_outer_groupjoin(_ds(l, 1), _ds(l, 1), "k", "k",
                              {"x": pa.int64()}, {"x": pa.int64()})
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_full_outer_groupjoin_matches_duckdb(seed):
+    """Randomized parity with DuckDB FULL OUTER JOIN, including duplicate
+    keys on both sides (cross products) and empty-partition-inducing
+    sparsity."""
+    import duckdb
+
+    rng = np.random.default_rng(seed)
+    nl, nr = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+    l = pa.table({"k": pa.array(rng.integers(0, 15, nl), pa.int64()),
+                  "a": pa.array(rng.integers(0, 100, nl), pa.int64())})
+    r = pa.table({"j": pa.array(rng.integers(5, 20, nr), pa.int64()),
+                  "b": pa.array(rng.integers(0, 100, nr), pa.int64())})
+    got = (full_outer_groupjoin(_ds(l, 6), _ds(r, 6), "k", "j",
+                                {"a": pa.int64()}, {"b": pa.int64()})
+           .to_pandas())
+    got = got.fillna(-1).astype("int64").sort_values(
+        ["key", "a", "b"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("l", l)
+    con.register("r", r)
+    want = con.execute(
+        "SELECT coalesce(k, j) AS key, coalesce(a, -1) AS a, "
+        "coalesce(b, -1) AS b FROM l FULL OUTER JOIN r ON k = j "
+        "ORDER BY key, a, b").fetchdf().astype("int64").reset_index(drop=True)
+    assert got.equals(want), (len(got), len(want))
