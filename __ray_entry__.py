@@ -15,6 +15,27 @@ from typing import Any
 from dataxray.functions import sketches as _SK
 from dataxray.pipelines import reports as R
 
+# word-trigram shingling + exact Jaccard pair join, shared by the
+# ngram_jaccard_dups oracle and the dup_clusters closure oracle
+# (tokenization parity with functions/dedup.py shingles64)
+_NGRAM_CTES = (
+    "toks AS (SELECT doc_id, "
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, CASE "
+    "WHEN len(w) = 0 THEN CAST([] AS VARCHAR[]) "
+    "WHEN len(w) < 3 THEN [array_to_string(w, ' ')] "
+    "ELSE list_transform(range(1, len(w) - 1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS g FROM toks), "
+    "d AS (SELECT doc_id, list_distinct(g) AS g FROM sh WHERE len(g) > 0)"
+)
+_NGRAM_PAIRS_SELECT = (
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) "
+    "/ len(list_distinct(a.g || b.g)) >= 0.7"
+)
+
 
 def entry() -> Any:
     """Flagship: replay the events table as a CDC change log (url-hash
@@ -90,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": R.cms_user_counts,
         "mode_event_type_per_user": R.mode_event_type_per_user,
         "ntile_orders_price": R.ntile_orders_price,
+        "dup_clusters": R.dup_clusters,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -428,20 +450,18 @@ def oracle_sql() -> dict[str, str]:
         # word-trigram Jaccard with the same tokenization (whitespace split,
         # drop empties) and k<3 fallback (whole text as one shingle) as
         # functions/dedup.py shingles64
-        "ngram_jaccard_dups": (
-            "WITH toks AS (SELECT doc_id, "
-            "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w "
-            "FROM documents), "
-            "sh AS (SELECT doc_id, CASE "
-            "WHEN len(w) = 0 THEN CAST([] AS VARCHAR[]) "
-            "WHEN len(w) < 3 THEN [array_to_string(w, ' ')] "
-            "ELSE list_transform(range(1, len(w) - 1), "
-            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS g FROM toks), "
-            "d AS (SELECT doc_id, list_distinct(g) AS g FROM sh WHERE len(g) > 0) "
-            "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
-            "FROM d a JOIN d b ON a.doc_id < b.doc_id "
-            "WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) "
-            "/ len(list_distinct(a.g || b.g)) >= 0.7"
+        "ngram_jaccard_dups": f"WITH {_NGRAM_CTES} {_NGRAM_PAIRS_SELECT}",
+        # duplicate clusters = transitive closure of the same pairs
+        # (recursive CTE; UNION-distinct terminates on cycles)
+        "dup_clusters": (
+            f"WITH RECURSIVE {_NGRAM_CTES}, "
+            f"pairs AS ({_NGRAM_PAIRS_SELECT}), "
+            "und AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(u, v) AS (SELECT u, v FROM und "
+            "UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u) "
+            "SELECT u AS doc_id, least(u, min(v)) AS rep "
+            "FROM reach GROUP BY u"
         ),
         # discrete quantiles (actual elements, bit-exact) on price cents
         "quantiles_price_by_priority": (

@@ -1481,3 +1481,18 @@ def ntile_orders_price(sf_dir: str, k: int = 4):
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("o_orderpriority").map_groups(tile,
                                                    batch_format="pyarrow"))
+
+
+def dup_clusters(sf_dir: str):
+    """Duplicate CLUSTERS from the exact n-gram Jaccard pairs: distributed
+    connected components (functions/graph.py min-label propagation) turn
+    pairs into (doc_id, rep) where rep = min doc_id of the cluster — the
+    'keep one representative per near-dup group' step of a dedup pipeline.
+    Oracle: recursive-CTE transitive closure over the same pair SQL."""
+    from ..functions.graph import connected_components
+
+    pairs = ngram_jaccard_dups(sf_dir)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return cc.map_batches(
+        lambda t: t.rename_columns(["doc_id", "rep"]),
+        batch_format="pyarrow")
