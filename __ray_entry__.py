@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type_per_user": R.mode_event_type_per_user,
         "ntile_orders_price": R.ntile_orders_price,
         "dup_clusters": R.dup_clusters,
+        "hll_distinct_users_by_type": R.hll_distinct_users_by_type,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -259,6 +260,7 @@ def reference_models() -> dict[str, Callable[[str], Any]]:
         "pack_bins": M.pack_bins,
         "hll_distinct_users": M.hll_distinct_users,
         "cms_user_counts": M.cms_user_counts,
+        "hll_distinct_users_by_type": M.hll_distinct_users_by_type,
     }
 
 

@@ -419,3 +419,34 @@ def cms_user_counts(sf_dir: str, depth: int = 4, width: int = 2048) -> pa.Table:
         out_est.append(est)
     return pa.table({"user_id": pa.array(out_ids, pa.int64()),
                      "est_count": pa.array(out_est, pa.int64())})
+
+
+def hll_distinct_users_by_type(sf_dir: str, p: int = 12) -> pa.Table:
+    """Independent grouped HLL: per-type pure-Python registers."""
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_type", "user_id"])
+    m = 1 << p
+    mask = (1 << 64) - 1
+    groups: dict = {}
+    for et, v in zip(t["event_type"].to_pylist(), t["user_id"].to_pylist()):
+        regs = groups.setdefault(et, [0] * m)
+        h = _splitmix64_py(int(v))
+        b = h >> (64 - p)
+        suffix = (h << p) & mask
+        rank = min(64 - suffix.bit_length(), 64 - p) + 1
+        if rank > regs[b]:
+            regs[b] = rank
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out_t, out_e = [], []
+    for et in sorted(groups):
+        regs = groups[et]
+        denom = sum(1 << (64 - r) for r in regs)
+        est = alpha * m * m * 2.0 ** 64 / float(denom)
+        if est <= 2.5 * m:
+            zeros = regs.count(0)
+            if zeros:
+                est = m * float(np.log(m / zeros))
+        out_t.append(et)
+        out_e.append(int(round(est)))
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "hll_users": pa.array(out_e, pa.int64())})

@@ -1496,3 +1496,40 @@ def dup_clusters(sf_dir: str):
     return cc.map_batches(
         lambda t: t.rename_columns(["doc_id", "rep"]),
         batch_format="pyarrow")
+
+
+def hll_distinct_users_by_type(sf_dir: str):
+    """Approximate distinct users PER EVENT TYPE: per-(block, type) partial
+    HLL registers, merged per type inside the groupby (elementwise max of
+    4 KiB sketches — the shuffle carries sketches, never user ids). The
+    grouped version of hll_distinct_users; same deterministic estimator,
+    same independent py-model oracle."""
+    from ..functions.sketches import hll_estimate, hll_partial_registers, splitmix64
+
+    P = 12
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        types = t["event_type"].combine_chunks()
+        vals = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(types)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        out_t, out_r = [], []
+        for c in np.unique(codes) if len(t) else []:
+            out_t.append(enc.dictionary[int(c)].as_py())
+            out_r.append(hll_partial_registers(
+                splitmix64(vals[codes == c]), P).tolist())
+        return pa.table({"event_type": pa.array(out_t, pa.string()),
+                         "regs": pa.array(out_r, pa.list_(pa.int64()))})
+
+    def merge(g: pa.Table) -> pa.Table:
+        regs = np.zeros(1 << P, dtype=np.int64)
+        for r in g["regs"].to_pylist():
+            np.maximum(regs, np.asarray(r, dtype=np.int64), out=regs)
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "hll_users": pa.array([int(round(hll_estimate(regs)))],
+                                  pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").map_groups(merge, batch_format="pyarrow"))
