@@ -113,6 +113,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_orders_price": R.ntile_orders_price,
         "dup_clusters": R.dup_clusters,
         "hll_distinct_users_by_type": R.hll_distinct_users_by_type,
+        "hopping_window": R.hopping_window,
+        "pivot_event_counts": R.pivot_event_counts,
+        "stats_moments": R.stats_moments,
+        "word_count_topk": R.word_count_topk,
+        "users_click_and_purchase": R.users_click_and_purchase,
+        "users_click_not_purchase": R.users_click_not_purchase,
+        "median_cont_by_type": R.median_cont_by_type,
+        "lev1_name_pairs": R.lev1_name_pairs,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -549,5 +557,73 @@ def oracle_sql() -> dict[str, str]:
             "ntile(4) OVER (PARTITION BY o_orderpriority "
             "ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC, "
             "o_orderkey) AS tile FROM orders"
+        ),
+        "hopping_window": (
+            "SELECT user_id, make_timestamp("
+            "(epoch_us(ts) // 900000000) * 900000000 - i * 900000000) "
+            "AS window_start, count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_c "
+            "FROM events CROSS JOIN range(4) r(i) GROUP BY 1, 2"
+        ),
+        "pivot_event_counts": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"CAST(sum(CASE WHEN event_type = '{et}' THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS n_{et}"
+                for et in ("click", "error", "purchase", "signup", "view"))
+            + " FROM events GROUP BY 1"
+        ),
+        "stats_moments": (
+            "WITH b AS (SELECT l_returnflag, "
+            "CAST(round(l_quantity, 0) AS BIGINT) AS q, "
+            "CAST(round(l_tax * 100, 0) AS BIGINT) AS x FROM lineitem), "
+            "s AS (SELECT l_returnflag, count(*) AS n, sum(q) AS sq, "
+            "sum(q*q) AS sqq, sum(x) AS st, sum(q*x) AS sqt "
+            "FROM b GROUP BY 1) "
+            "SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, "
+            "CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty, "
+            "CAST(n*sqq - sq*sq AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) "
+            "AS var_qty, "
+            "CAST(n*sqt - sq*st AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) "
+            "AS cov_qty_tax FROM s"
+        ),
+        "word_count_topk": (
+            "WITH toks AS (SELECT unnest(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token "
+            "FROM documents) "
+            "SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks "
+            "GROUP BY token ORDER BY cnt DESC, token LIMIT 50"
+        ),
+        "users_click_and_purchase": (
+            "SELECT user_id, date_trunc('hour', ts) AS hr FROM events "
+            "WHERE event_type = 'click' "
+            "INTERSECT "
+            "SELECT user_id, date_trunc('hour', ts) AS hr FROM events "
+            "WHERE event_type = 'purchase'"
+        ),
+        "users_click_not_purchase": (
+            "SELECT user_id, date_trunc('hour', ts) AS hr FROM events "
+            "WHERE event_type = 'click' "
+            "EXCEPT "
+            "SELECT user_id, date_trunc('hour', ts) AS hr FROM events "
+            "WHERE event_type = 'purchase'"
+        ),
+        "median_cont_by_type": (
+            "WITH v AS (SELECT event_type, "
+            "CAST(round(value * 100, 0) AS BIGINT) AS value_c FROM events), "
+            "r AS (SELECT event_type, value_c, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY value_c) "
+            "AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM v) "
+            "SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows, "
+            "avg(CASE WHEN rn = (n+1)//2 OR rn = n//2 + 1 "
+            "THEN CAST(value_c AS DOUBLE) END) AS median_c "
+            "FROM r GROUP BY 1"
+        ),
+        "lev1_name_pairs": (
+            "WITH d AS (SELECT DISTINCT p_name FROM part) "
+            "SELECT a.p_name AS name_a, b.p_name AS name_b "
+            "FROM d a JOIN d b ON a.p_name < b.p_name "
+            "WHERE levenshtein(a.p_name, b.p_name) = 1"
         ),
     }

@@ -1533,3 +1533,257 @@ def hll_distinct_users_by_type(sf_dir: str):
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("event_type").map_groups(merge, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Hopping windows, pivot, moment aggregates, word count, set ops,
+# continuous median, edit-distance join (round-4 coverage widening)
+# ---------------------------------------------------------------------------
+
+_HOP_US = 15 * 60 * 1_000_000  # 15-minute hop in microseconds
+
+
+def hopping_window(sf_dir: str, hops_per_window: int = 4):
+    """Hopping event-time window (1h size / 15min hop) per user: each
+    event lands in size/hop = 4 overlapping windows. The replication is a
+    vectorized tile (no flat_map Python loop), pre-aggregated per
+    (user, window_start) inside the batch so the shuffle carries one row
+    per group per block, then tree-combined — the same partial-agg shape
+    as window_tumbling, at 4x the pre-combine row volume and (measured)
+    far less than 4x the shuffled volume. Window starts are computed in
+    integer epoch-microseconds for bit parity with the SQL oracle's
+    make_timestamp arithmetic."""
+    from ..stages.hashagg import tree_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = hops_per_window
+        us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        base = us // _HOP_US * _HOP_US
+        starts = (base[None, :]
+                  - (np.arange(k, dtype=np.int64)[:, None] * _HOP_US)).ravel()
+        uid = np.tile(t["user_id"].combine_chunks().to_numpy(
+            zero_copy_only=False), k)
+        val_c = np.tile(_as_scaled_int(t["value"], 100).to_numpy(
+            zero_copy_only=False), k)
+        tiled = pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "window_start": pa.array(starts, pa.int64()),
+            "value_c": pa.array(val_c, pa.int64()),
+            "one": pa.array(np.ones(len(starts), dtype=np.int64)),
+        })
+        return pa.TableGroupBy(tiled, ["user_id", "window_start"]).aggregate(
+            [("value_c", "sum"), ("one", "sum")])
+
+    out = tree_aggregate(ds, ["user_id", "window_start"], partial,
+                         {"value_c_sum": "sum", "one_sum": "sum"})
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "window_start": pc.cast(t["window_start"], pa.timestamp("us")),
+            "n_events": pc.cast(t["one_sum"], pa.int64()),
+            "sum_value_c": pc.cast(t["value_c_sum"], pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_counts(sf_dir: str):
+    """Pivot / crosstab: one count column per event type, per user — the
+    conditional-aggregation form (known finite type set), one pass, fully
+    partial-aggregable: each batch reduces to one row per local user
+    before the shuffle."""
+    from ..stages.hashagg import tree_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    cols = [f"n_{et}" for et in _EVENT_TYPES]
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks()
+        flags = {
+            f"n_{e}": pc.cast(pc.equal(et, e), pa.int64()).fill_null(0)
+            for e in _EVENT_TYPES}
+        tb = pa.table({"user_id": t["user_id"], **flags})
+        return pa.TableGroupBy(tb, ["user_id"]).aggregate(
+            [(c, "sum") for c in cols])
+
+    out = tree_aggregate(ds, ["user_id"], partial,
+                         {f"{c}_sum": "sum" for c in cols})
+    return out.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            **{c: pc.cast(t[f"{c}_sum"], pa.int64())
+                               for c in cols}}),
+        batch_format="pyarrow")
+
+
+def stats_moments(sf_dir: str):
+    """Exact second-moment aggregates per l_returnflag: sample variance of
+    quantity and sample covariance(quantity, tax) from one-pass integer
+    power sums (n, Σx, Σx², Σy, Σxy — the classic algebraic decomposition,
+    fully partial-aggregable). The finalize divides EXACT integers as the
+    last step, so the double result is bit-identical to the oracle's
+    CAST(exact-int AS DOUBLE)/CAST(exact-int AS DOUBLE) — no streaming-
+    float associativity drift. int64 power sums hold to ~1e14 rows at
+    these magnitudes; beyond that the partials widen to float128/HUGEINT
+    (documented, not needed at test scale)."""
+    from ..stages.hashagg import tree_aggregate
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = _as_scaled_int(t["l_quantity"], 1).to_numpy(zero_copy_only=False)
+        x = _as_scaled_int(t["l_tax"], 100).to_numpy(zero_copy_only=False)
+        tb = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            "sq": pa.array(q), "sqq": pa.array(q * q),
+            "st": pa.array(x), "sqt": pa.array(q * x),
+        })
+        return pa.TableGroupBy(tb, ["l_returnflag"]).aggregate(
+            [(c, "sum") for c in ("n", "sq", "sqq", "st", "sqt")])
+
+    out = tree_aggregate(
+        ds, ["l_returnflag"], partial,
+        {f"{c}_sum": "sum" for c in ("n", "sq", "sqq", "st", "sqt")})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()  # <= #groups rows; exact python-int arithmetic
+        flag, n_rows, mean_q, var_q, cov_qt = [], [], [], [], []
+        for r in rows:
+            n, sq, sqq, st, sqt = (r["n_sum"], r["sq_sum"], r["sqq_sum"],
+                                   r["st_sum"], r["sqt_sum"])
+            flag.append(r["l_returnflag"])
+            n_rows.append(n)
+            mean_q.append(float(sq) / float(n))
+            den = n * (n - 1)
+            var_q.append(float(n * sqq - sq * sq) / float(den))
+            cov_qt.append(float(n * sqt - sq * st) / float(den))
+        return pa.table({
+            "l_returnflag": pa.array(flag, pa.string()),
+            "n_rows": pa.array(n_rows, pa.int64()),
+            "mean_qty": pa.array(mean_q, pa.float64()),
+            "var_qty": pa.array(var_q, pa.float64()),
+            "cov_qty_tax": pa.array(cov_qt, pa.float64()),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def word_count_topk(sf_dir: str, k: int = 50):
+    """Global top-k token frequencies over documents (the canonical
+    word count): whitespace-regex split (tokenization parity with the
+    ngram oracle CTEs), per-batch partial counts — the shuffle carries one
+    row per DISTINCT token per block, not per token occurrence — then a
+    tree-sum and a root-block top-k with deterministic (count desc, token
+    asc) tie-break. Root holds the vocabulary; for open-ended vocab the
+    count-min + heap path (cms_user_counts) is the documented fallback."""
+    from ..stages.hashagg import tree_aggregate
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"].combine_chunks(), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        tb = pa.table({"token": flat,
+                       "cnt": pa.array(np.ones(len(flat), dtype=np.int64))})
+        return pa.TableGroupBy(tb, ["token"]).aggregate([("cnt", "sum")])
+
+    out = tree_aggregate(ds, ["token"], partial, {"cnt_sum": "sum"})
+
+    def topk(t: pa.Table) -> pa.Table:
+        t = pa.table({"token": t["token"],
+                      "cnt": pc.cast(t["cnt_sum"], pa.int64())})
+        return t.sort_by([("cnt", "descending"),
+                          ("token", "ascending")]).slice(0, k)
+
+    return out.map_batches(topk, batch_format="pyarrow")
+
+
+def _user_hour_type_flags(sf_dir: str, a: str, b: str):
+    """Per-(user, hour) booleans (seen type a, seen type b) via
+    max-combined partials — the shared one-pass core of INTERSECT/EXCEPT
+    over a derived membership. One shuffle computes both set operations
+    (vs two dedups + a join for the naive formulation)."""
+    from ..stages.hashagg import tree_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks()
+        tb = pa.table({
+            "user_id": t["user_id"],
+            "hr": pc.floor_temporal(t["ts"], unit="hour"),
+            "has_a": pc.cast(pc.equal(et, a), pa.int64()).fill_null(0),
+            "has_b": pc.cast(pc.equal(et, b), pa.int64()).fill_null(0),
+        })
+        return pa.TableGroupBy(tb, ["user_id", "hr"]).aggregate(
+            [("has_a", "max"), ("has_b", "max")])
+
+    return tree_aggregate(ds, ["user_id", "hr"], partial,
+                          {"has_a_max": "max", "has_b_max": "max"})
+
+
+def users_click_and_purchase(sf_dir: str):
+    """INTERSECT over a derived membership: (user, hour) slots holding
+    both a click and a purchase (set semantics — deduped by the groupby
+    itself)."""
+    flags = _user_hour_type_flags(sf_dir, "click", "purchase")
+    return flags.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["has_a_max"], 1),
+                                   pc.equal(t["has_b_max"], 1)))
+        .select(["user_id", "hr"]),
+        batch_format="pyarrow")
+
+
+def users_click_not_purchase(sf_dir: str):
+    """EXCEPT: (user, hour) slots with a click but no purchase."""
+    flags = _user_hour_type_flags(sf_dir, "click", "purchase")
+    return flags.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["has_a_max"], 1),
+                                   pc.equal(t["has_b_max"], 0)))
+        .select(["user_id", "hr"]),
+        batch_format="pyarrow")
+
+
+def median_cont_by_type(sf_dir: str):
+    """Grouped CONTINUOUS median (interpolating, quantile_cont semantics)
+    of value in cents per event_type. The two middle order statistics are
+    exact int64s, so the final (a+b)/2.0 is the only float op and matches
+    the oracle's avg-of-two-BIGINTs bit-exactly. Per-group O(rows) memory,
+    like grouped_quantiles; heavy groups take the two-pass histogram
+    refinement documented there."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    cents = ds.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "value_c": _as_scaled_int(t["value"], 100)}),
+        batch_format="pyarrow")
+
+    def agg(g: pa.Table) -> pa.Table:
+        vals = np.sort(g["value_c"].combine_chunks().to_numpy(
+            zero_copy_only=False))
+        n = len(vals)
+        lo, hi = int(vals[(n - 1) // 2]), int(vals[n // 2])
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "n_rows": pa.array([n], pa.int64()),
+            "median_c": pa.array([float(lo + hi) / 2.0], pa.float64()),
+        })
+
+    return cents.groupby("event_type").map_groups(agg, batch_format="pyarrow")
+
+
+def lev1_name_pairs(sf_dir: str):
+    """Edit-distance-1 pairs over DISTINCT part names — the SymSpell
+    deletion-neighborhood join (functions/editdist.py): O(n·L) variant
+    keys replace the O(n²) nested loop; exact O(L) verify on candidates
+    only. Oracle is DuckDB's levenshtein() over the distinct-name cross
+    join."""
+    from ..functions.editdist import lev1_pairs
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    return lev1_pairs(ds, "p_name")

@@ -45,6 +45,12 @@ def tree_aggregate(ds, keys: list[str], partial, combine: dict[str, str],
     partials = ds.map_batches(partial, batch_format="pyarrow")
     refs = list(partials.to_arrow_refs())
     merge = ray.remote(num_cpus=1)(_combine_once)
+    if len(refs) == 1:
+        # A single block ref is NOT already combined: a fused read yields
+        # one partial per upstream batch (e.g. per parquet row group) and
+        # map_batches concatenates them into the one output block. Layout-
+        # dependent duplicates unless the combine always runs at least once.
+        refs = [merge.remote(keys, combine, refs[0])]
     while len(refs) > 1:
         refs = [merge.remote(keys, combine, *refs[i:i + fanin])
                 for i in range(0, len(refs), fanin)]
