@@ -90,9 +90,15 @@ def build_bloom(keys_ds, key_col: str, num_bits: int = 1 << 22,
                                     batch_size=65_536).to_arrow_refs())
     while len(refs) > 1:
         refs = [merge.remote(*refs[i:i + fanin]) for i in range(0, len(refs), fanin)]
-    words = np.frombuffer(ray.get(refs[0])["words"][0].as_py(), dtype=np.uint64) \
-        if refs else np.zeros(num_bits // 64, dtype=np.uint64)
-    return BloomFilter(num_bits, num_hashes, words=words.copy())
+    # OR every row of the final block: a single ref can hold SEVERAL
+    # partial rows (one per upstream batch of a fused read) — reading only
+    # row 0 would drop their bits and manufacture false negatives.
+    words = np.zeros(num_bits // 64, dtype=np.uint64)
+    if refs:
+        for blob in ray.get(refs[0])["words"].to_pylist():
+            np.bitwise_or(words, np.frombuffer(blob, dtype=np.uint64),
+                          out=words)
+    return BloomFilter(num_bits, num_hashes, words=words)
 
 
 def bloom_anti_join(left_ds, keys_ds, left_key: str, right_key: str,

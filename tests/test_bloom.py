@@ -44,3 +44,22 @@ def test_bloom_anti_join_exact():
     want = sorted((int(k), f"v{i}") for i, k in enumerate(left_keys)
                   if int(k) not in rset)
     assert got == want
+
+
+def test_build_bloom_single_block_multi_rowgroup(ray_session, tmp_path):
+    """Regression: a fused parquet read can leave SEVERAL per-batch partial
+    bloom rows in one output block; the final read must OR every row, not
+    just row 0 (dropping rows manufactures false negatives)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from dataxray.functions.bloom import build_bloom
+
+    keys = np.arange(200_000, dtype=np.int64)
+    path = str(tmp_path / "keys.parquet")
+    pq.write_table(pa.table({"k": keys}), path, row_group_size=10_000)
+    ds = ray.data.read_parquet(path, override_num_blocks=1)
+    bf = build_bloom(ds, "k")
+    assert bool(bf.contains(keys).all()), "bloom filter lost partial rows"
