@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_click_not_purchase": R.users_click_not_purchase,
         "median_cont_by_type": R.median_cont_by_type,
         "lev1_name_pairs": R.lev1_name_pairs,
+        "dup_span_stats": R.dup_span_stats,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -619,6 +620,19 @@ def oracle_sql() -> dict[str, str]:
             "avg(CASE WHEN rn = (n+1)//2 OR rn = n//2 + 1 "
             "THEN CAST(value_c AS DOUBLE) END) AS median_c "
             "FROM r GROUP BY 1"
+        ),
+        "dup_span_stats": (
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') "
+            "AS w FROM documents), "
+            "spans AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "range(1, len(w) - 3), i -> w[i] || ' ' || w[i+1] || ' ' || "
+            "w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS span "
+            "FROM toks WHERE len(w) >= 5), "
+            "cnt AS (SELECT span, count(*) AS nd FROM spans GROUP BY 1) "
+            "SELECT s.doc_id, count(*) AS n_spans, "
+            "CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dup_spans FROM spans s JOIN cnt c USING (span) GROUP BY 1"
         ),
         "lev1_name_pairs": (
             "WITH d AS (SELECT DISTINCT p_name FROM part) "

@@ -1787,3 +1787,13 @@ def lev1_name_pairs(sf_dir: str):
 
     ds = _read(sf_dir, "part", ["p_name"])
     return lev1_pairs(ds, "p_name")
+
+
+def dup_span_stats(sf_dir: str):
+    """Per-document duplicated 5-token-span stats (functions/spans.py) —
+    the substring-level exact-dedup signal (Lee et al. 2022 flavor, shingle
+    formulation). Oracle rebuilds the same spans with DuckDB list ops."""
+    from ..functions.spans import duplicated_span_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicated_span_stats(ds, k=5)

@@ -1,0 +1,48 @@
+"""Duplicated-span stats (functions/spans.py) vs a plain-Python oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dataxray.functions.spans import duplicated_span_stats
+
+
+def _oracle(docs, k):
+    spans = {}
+    for did, text in docs:
+        toks = [t for t in text.split() if t]
+        spans[did] = {" ".join(toks[i:i + k])
+                      for i in range(len(toks) - k + 1)}
+    df = {}
+    for s in spans.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    return {did: (len(s), sum(1 for g in s if df[g] >= 2))
+            for did, s in spans.items() if s}
+
+
+@pytest.mark.parametrize("blocks", [1, 32])
+def test_dup_span_stats_matches_oracle(ray_session, blocks):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        words = list(rng.choice(vocab, rng.integers(0, 30)))
+        docs.append((i, " ".join(words)))
+    # force guaranteed cross-doc duplicate spans + short-doc edge cases
+    docs.append((100, "a b c d e f g h"))
+    docs.append((101, "x y a b c d e f z"))
+    docs.append((102, "a b c"))       # shorter than k -> no spans
+    docs.append((103, ""))            # empty
+    k = 5
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs]),
+    })).repartition(blocks)
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+           for r in duplicated_span_stats(ds, k=k).take_all()}
+    want = _oracle(docs, k)
+    assert got == want
+    assert got[100][1] >= 1, "planted duplicate span must be detected"
