@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_cont_by_type": R.median_cont_by_type,
         "lev1_name_pairs": R.lev1_name_pairs,
         "dup_span_stats": R.dup_span_stats,
+        "dense_rank_quantity": R.dense_rank_quantity,
+        "agg_cube_flags": R.agg_cube_flags,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -633,6 +635,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.doc_id, count(*) AS n_spans, "
             "CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_dup_spans FROM spans s JOIN cnt c USING (span) GROUP BY 1"
+        ),
+        "dense_rank_quantity": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(dense_rank() OVER (PARTITION BY l_returnflag "
+            "ORDER BY CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) "
+            "AS qty_rank FROM lineitem"
+        ),
+        "agg_cube_flags": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS l_linestatus, "
+            "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) "
+            "AS BIGINT) AS rev_c, count(*) AS n_rows "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
         ),
         "lev1_name_pairs": (
             "WITH d AS (SELECT DISTINCT p_name FROM part) "

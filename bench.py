@@ -44,6 +44,8 @@ QUERY_NAMES = [
     "cdc_incremental_agg", "interval_join_windows_tb",
     "hll_distinct_users", "json_extract_props", "cumsum_user_value",
     "stratified_sample_events",
+    "hopping_window", "word_count_topk", "dup_span_stats",
+    "lev1_name_pairs", "stats_moments",
 ]
 
 

@@ -1797,3 +1797,51 @@ def dup_span_stats(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return duplicated_span_stats(ds, k=5)
+
+
+def dense_rank_quantity(sf_dir: str):
+    """DENSE_RANK over a tied ordering (quantity within return flag): one
+    shuffle on the partition key, per-group np.unique inverse — rank
+    depends only on the value, so the result is deterministic under ties
+    without a tie-break column."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": pc.cast(t["l_linenumber"], pa.int32()),
+            "l_returnflag": t["l_returnflag"],
+            "q": _as_scaled_int(t["l_quantity"], 1)})
+
+    def window(g: pa.Table) -> pa.Table:
+        q = g["q"].combine_chunks().to_numpy(zero_copy_only=False)
+        _, inv = np.unique(q, return_inverse=True)
+        return pa.table({
+            "l_orderkey": g["l_orderkey"],
+            "l_linenumber": g["l_linenumber"],
+            "qty_rank": pa.array(inv.astype(np.int64) + 1)})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("l_returnflag").map_groups(window,
+                                                batch_format="pyarrow"))
+
+
+def agg_cube_flags(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): the rollup strategy
+    extended with the (ALL, linestatus) grouping — every coarser level is
+    re-aggregated FROM THE FINEST RESULT (a few rows), so the base table
+    is scanned once regardless of how many groupings the cube adds."""
+    finest = agg_rollup_flags(sf_dir)  # finest + (flag, ALL) + (ALL, ALL)
+    ft = finest.filter(
+        pc.and_(pc.not_equal(finest["l_returnflag"], "ALL"),
+                pc.not_equal(finest["l_linestatus"], "ALL")))
+    mid = pa.TableGroupBy(ft, "l_linestatus").aggregate(
+        [("rev_c", "sum"), ("n_rows", "sum")])
+    extra = pa.table({
+        "l_returnflag": pa.array(["ALL"] * len(mid)),
+        "l_linestatus": mid["l_linestatus"],
+        "rev_c": mid["rev_c_sum"], "n_rows": mid["n_rows_sum"]})
+    cols = ["l_returnflag", "l_linestatus", "rev_c", "n_rows"]
+    return pa.concat_tables([finest.select(cols), extra.select(cols)],
+                            promote_options="permissive")
