@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": R.dup_span_stats,
         "dense_rank_quantity": R.dense_rank_quantity,
         "agg_cube_flags": R.agg_cube_flags,
+        "tpch_q3_revenue": R.tpch_q3_revenue,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -648,6 +649,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) "
             "AS BIGINT) AS rev_c, count(*) AS n_rows "
             "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ),
+        "tpch_q3_revenue": (
+            "SELECT l_orderkey, o_orderdate, "
+            "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) "
+            "AS rev_c4 "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY 1, 2 ORDER BY rev_c4 DESC, l_orderkey LIMIT 10"
         ),
         "lev1_name_pairs": (
             "WITH d AS (SELECT DISTINCT p_name FROM part) "

@@ -1845,3 +1845,85 @@ def agg_cube_flags(sf_dir: str):
     cols = ["l_returnflag", "l_linestatus", "rev_c", "n_rows"]
     return pa.concat_tables([finest.select(cols), extra.select(cols)],
                             promote_options="permissive")
+
+
+Q3_CUTOFF_US = 898_732_800_000_000  # 1998-06-01 in epoch microseconds
+
+
+def tpch_q3_revenue(sf_dir: str, k: int = 10):
+    """TPC-H Q3-shaped 3-table pipeline: segment-filtered customers ->
+    date-filtered orders -> shipdate-filtered lineitem, revenue per order,
+    top-k. Composition of the engine's join strategies: the customer and
+    filtered-orders sides are BROADCAST (ray.put once, sorted searchsorted
+    probes — TPC-H's selectivity makes them small relative to lineitem),
+    lineitem streams through one map_batches with in-batch partial
+    aggregation, so the only shuffle is the tiny per-orderkey tree combine.
+    When the filtered orders side outgrows broadcast budget, the fallback
+    is the partitioned hash join (hash_join_order_rows' shape) — same
+    downstream. Revenue is exact: price_c * (100 - disc_pct) int64
+    (1e-4-dollar units), bit-equal to the SQL oracle."""
+    import ray
+
+    cutoff = np.datetime64(Q3_CUTOFF_US, "us")
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    bld = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+    bld_keys = np.sort(bld["c_custkey"].combine_chunks()
+                       .to_numpy(zero_copy_only=False))
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff)))
+        ck = t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(bld_keys, ck)
+        idx_c = np.minimum(idx, max(len(bld_keys) - 1, 0))
+        mask = (bld_keys[idx_c] == ck) if len(bld_keys) else np.zeros(
+            len(ck), dtype=bool)
+        t = t.filter(pa.array(mask))
+        return t.select(["o_orderkey", "o_orderdate"])
+
+    ord_ds = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    ord_tbl = pa.concat_tables(
+        ray.get(ord_ds.map_batches(orders_side, batch_format="pyarrow")
+                .to_arrow_refs()),
+        promote_options="permissive")
+    lookup_ref = ray.put(SortedLookup(
+        ord_tbl["o_orderkey"].combine_chunks().to_numpy(
+            zero_copy_only=False),
+        ord_tbl["o_orderdate"].combine_chunks()))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        lookup = ray.get(lookup_ref)
+        keys = t["l_orderkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        valid, odate = lookup.probe(keys)
+        t = t.filter(pa.array(valid))
+        price_c = _as_scaled_int(t["l_extendedprice"], 100).to_numpy(
+            zero_copy_only=False)
+        disc = _as_scaled_int(t["l_discount"], 100).to_numpy(
+            zero_copy_only=False)
+        tb = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "o_orderdate": odate,
+            "rev_c4": pa.array(price_c * (100 - disc), pa.int64())})
+        return pa.TableGroupBy(tb, ["l_orderkey", "o_orderdate"]).aggregate(
+            [("rev_c4", "sum")])
+
+    from ..stages.hashagg import tree_aggregate
+
+    out = tree_aggregate(li, ["l_orderkey", "o_orderdate"], partial,
+                         {"rev_c4_sum": "sum"})
+
+    def topk(t: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": t["l_orderkey"],
+                      "o_orderdate": t["o_orderdate"],
+                      "rev_c4": pc.cast(t["rev_c4_sum"], pa.int64())})
+        return t.sort_by([("rev_c4", "descending"),
+                          ("l_orderkey", "ascending")]).slice(0, k)
+
+    return out.map_batches(topk, batch_format="pyarrow")
