@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_quantity": R.dense_rank_quantity,
         "agg_cube_flags": R.agg_cube_flags,
         "tpch_q3_revenue": R.tpch_q3_revenue,
+        "global_value_ranks": R.global_value_ranks,
+        "global_median_price": R.global_median_price,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -661,6 +663,21 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate < TIMESTAMP '1998-06-01' "
             "AND l_shipdate > TIMESTAMP '1998-06-01' "
             "GROUP BY 1, 2 ORDER BY rev_c4 DESC, l_orderkey LIMIT 10"
+        ),
+        "global_value_ranks": (
+            "SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) "
+            "AS value_c, row_number() OVER (ORDER BY "
+            "CAST(round(value * 100, 0) AS BIGINT), event_id) AS rank "
+            "FROM events"
+        ),
+        "global_median_price": (
+            "WITH v AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) "
+            "AS price_c FROM orders), "
+            "r AS (SELECT price_c, row_number() OVER (ORDER BY price_c) "
+            "AS rn, count(*) OVER () AS n FROM v) "
+            "SELECT CAST(max(n) AS BIGINT) AS n_rows, "
+            "avg(CASE WHEN rn = (n+1)//2 OR rn = n//2 + 1 "
+            "THEN CAST(price_c AS DOUBLE) END) AS median_price_c FROM r"
         ),
         "lev1_name_pairs": (
             "WITH d AS (SELECT DISTINCT p_name FROM part) "

@@ -1927,3 +1927,42 @@ def tpch_q3_revenue(sf_dir: str, k: int = 10):
                           ("l_orderkey", "ascending")]).slice(0, k)
 
     return out.map_batches(topk, batch_format="pyarrow")
+
+
+def global_value_ranks(sf_dir: str):
+    """Global sort + global row numbers (functions/ranks.py): every event
+    ranked by (value_c, event_id) across all blocks — the distributed
+    ORDER BY + row_number() surface. The unique tie-break makes the rank
+    deterministic; offsets come from block metadata, not a row pass."""
+    from ..functions.ranks import with_global_row_numbers
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    cents = ds.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"],
+                            "value_c": _as_scaled_int(t["value"], 100)}),
+        batch_format="pyarrow")
+    return with_global_row_numbers(cents, ["value_c", "event_id"])
+
+
+def global_median_price(sf_dir: str):
+    """Exact CONTINUOUS global median of order price in cents via
+    distributed selection (functions/selection.py): iterative histogram
+    refinement, no global sort — ceil(log_B(range)) streaming scans and a
+    B-int vector per block is all that moves. The two middle order
+    statistics are exact ints; (a+b)/2.0 is the single float op (oracle
+    parity as in median_cont_by_type)."""
+    from ..functions.selection import exact_order_stats
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    cents = ds.map_batches(
+        lambda t: pa.table({"price_c": _as_scaled_int(t["o_totalprice"],
+                                                      100)}),
+        batch_format="pyarrow").materialize()
+    n = cents.count()
+    k1, k2 = (n - 1) // 2, n // 2
+    # force the multi-pass path at any test scale so the gate exercises it
+    stats = exact_order_stats(cents, "price_c", sorted({k1, k2}),
+                              collect_limit=max(n // 8, 64))
+    med = float(stats[k1] + stats[k2]) / 2.0
+    return pa.table({"n_rows": pa.array([n], pa.int64()),
+                     "median_price_c": pa.array([med], pa.float64())})
