@@ -127,6 +127,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_revenue": R.tpch_q3_revenue,
         "global_value_ranks": R.global_value_ranks,
         "global_median_price": R.global_median_price,
+        "value_histogram": R.value_histogram,
+        "semi_join_active_customers": R.semi_join_active_customers,
+        "cross_join_region_nation": R.cross_join_region_nation,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -678,6 +681,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(max(n) AS BIGINT) AS n_rows, "
             "avg(CASE WHEN rn = (n+1)//2 OR rn = n//2 + 1 "
             "THEN CAST(price_c AS DOUBLE) END) AS median_price_c FROM r"
+        ),
+        "value_histogram": (
+            "SELECT CAST(round(value * 100, 0) AS BIGINT) // 500 AS bin, "
+            "count(*) AS n FROM events GROUP BY 1"
+        ),
+        "semi_join_active_customers": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_totalprice > 450000)"
+        ),
+        "cross_join_region_nation": (
+            "SELECT r_regionkey, r_name, n_nationkey, n_name "
+            "FROM region CROSS JOIN nation"
         ),
         "lev1_name_pairs": (
             "WITH d AS (SELECT DISTINCT p_name FROM part) "

@@ -1966,3 +1966,84 @@ def global_median_price(sf_dir: str):
     med = float(stats[k1] + stats[k2]) / 2.0
     return pa.table({"n_rows": pa.array([n], pa.int64()),
                      "median_price_c": pa.array([med], pa.float64())})
+
+
+def value_histogram(sf_dir: str, width_c: int = 500):
+    """Fixed-width histogram of event value (5-dollar bins in cents):
+    per-batch bincount partials tree-summed — the histogram shuffle is one
+    (bin, count) row per non-empty bin per block."""
+    from ..stages.hashagg import tree_aggregate
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _as_scaled_int(t["value"], 100).to_numpy(zero_copy_only=False)
+        bins = np.floor_divide(v, width_c)
+        tb = pa.table({"bin": pa.array(bins, pa.int64()),
+                       "n": pa.array(np.ones(len(bins), dtype=np.int64))})
+        return pa.TableGroupBy(tb, ["bin"]).aggregate([("n", "sum")])
+
+    out = tree_aggregate(ds, ["bin"], partial, {"n_sum": "sum"})
+    return out.map_batches(
+        lambda t: pa.table({"bin": t["bin"],
+                            "n": pc.cast(t["n_sum"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def semi_join_active_customers(sf_dir: str):
+    """SEMI join (EXISTS): customers with at least one order above 450k.
+    The order-key side filters then reduces to its distinct custkeys (tree
+    distinct), broadcast once, and probed with pc.is_in per customer batch
+    — no row duplication, no shuffle of the big side (the anti-join
+    family's complement)."""
+    import ray
+
+    from ..stages.hashagg import tree_distinct
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 450_000.0))
+        .select(["o_custkey"]),
+        batch_format="pyarrow")
+    keys_tbl = pa.concat_tables(
+        ray.get(tree_distinct(orders, ["o_custkey"]).to_arrow_refs()),
+        promote_options="permissive")
+    keys_ref = ray.put(keys_tbl["o_custkey"].combine_chunks())
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        return t.filter(pc.is_in(pc.cast(t["c_custkey"], pa.int64()),
+                                 value_set=_ray.get(keys_ref)))
+
+    return cust.map_batches(probe, batch_format="pyarrow")
+
+
+def cross_join_region_nation(sf_dir: str):
+    """CROSS JOIN of two small dimension tables (every region x nation
+    combination): the right side is broadcast and each left batch is
+    repeated against it with vectorized takes — the cartesian product is
+    only ever materialized per batch."""
+    import ray
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nat_ref = ray.put(nation)
+
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+
+    def cross(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        nt = _ray.get(nat_ref)
+        nl, nr = len(t), len(nt)
+        left = t.take(pa.array(np.repeat(np.arange(nl), nr)))
+        right = nt.take(pa.array(np.tile(np.arange(nr), nl)))
+        return pa.table({
+            "r_regionkey": pc.cast(left["r_regionkey"], pa.int32()),
+            "r_name": left["r_name"],
+            "n_nationkey": pc.cast(right["n_nationkey"], pa.int32()),
+            "n_name": right["n_name"]})
+
+    return region.map_batches(cross, batch_format="pyarrow")
