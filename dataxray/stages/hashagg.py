@@ -24,7 +24,19 @@ import pyarrow as pa
 
 
 def _combine_once(keys: list[str], combine: dict[str, str], *tables: pa.Table) -> pa.Table:
+    # Ray emits ZERO-COLUMN empty blocks for empty shuffle partitions (e.g.
+    # a groupby hash range with no groups), and map_batches passes 0-row
+    # blocks through without calling the fn — so alien schema-less blocks
+    # reach the merge. Drop any empty block that doesn't carry the key
+    # columns; a merge group made ONLY of those combines to a schema-less
+    # empty, which the next level (or the final consumer) drops the same way.
+    tables = [t for t in tables
+              if t.num_rows > 0 or all(k in t.column_names for k in keys)]
+    if not tables:
+        return pa.table({})
     t = pa.concat_tables(tables, promote_options="permissive")
+    if t.num_rows == 0 and not all(k in t.column_names for k in keys):
+        return pa.table({})
     agg = pa.TableGroupBy(t, keys).aggregate(list(combine.items()))
     # TableGroupBy names outputs "<col>_<fn>"; fold back to the input names so
     # every tree level sees the same schema

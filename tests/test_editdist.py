@@ -77,3 +77,26 @@ def test_tree_aggregate_single_block_multi_rowgroup(ray_session, tmp_path):
     assert len(rows) == 2, f"per-row-group partials leaked: {rows}"
     assert rows["a"] == int(np.arange(0, 1000, 2).sum())
     assert rows["b"] == int(np.arange(1, 1000, 2).sum())
+
+
+def test_tree_distinct_survives_zero_column_blocks(ray_session):
+    """Regression: Ray emits ZERO-COLUMN empty blocks for empty shuffle
+    partitions, and map_batches passes 0-row blocks through uncalled —
+    so schema-less blocks reach the merge tree. A fanin group made only
+    of them used to crash _combine_once with ArrowInvalid (No match for
+    FieldRef)."""
+    import ray
+    import ray.data
+
+    from dataxray.stages.hashagg import tree_distinct
+
+    good = pa.table({"id_a": pa.array([1, 1, 2], pa.int64()),
+                     "id_b": pa.array([2, 2, 3], pa.int64()),
+                     "cosine": pa.array([0.9, 0.9, 0.8], pa.float64())})
+    alien = pa.table({})  # what an empty shuffle partition emits
+    # enough empty blocks that one merge group (fanin=8) is all-empty
+    refs = [ray.put(good)] + [ray.put(alien) for _ in range(17)]
+    ds = ray.data.from_arrow_refs(refs)
+    out = tree_distinct(ds, ["id_a", "id_b"], combine={"cosine": "max"})
+    rows = sorted((r["id_a"], r["id_b"], r["cosine"]) for r in out.take_all())
+    assert rows == [(1, 2, 0.9), (2, 3, 0.8)]
