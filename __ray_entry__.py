@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": R.value_histogram,
         "semi_join_active_customers": R.semi_join_active_customers,
         "cross_join_region_nation": R.cross_join_region_nation,
+        "argmax_event_per_user": R.argmax_event_per_user,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -695,6 +696,15 @@ def oracle_sql() -> dict[str, str]:
         "cross_join_region_nation": (
             "SELECT r_regionkey, r_name, n_nationkey, n_name "
             "FROM region CROSS JOIN nation"
+        ),
+        "argmax_event_per_user": (
+            "SELECT user_id, event_id AS best_event_id, "
+            "value_c AS best_value_c FROM ("
+            "SELECT user_id, event_id, "
+            "CAST(round(value * 100, 0) AS BIGINT) AS value_c, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY "
+            "CAST(round(value * 100, 0) AS BIGINT) DESC, event_id) AS rn "
+            "FROM events) WHERE rn = 1"
         ),
         "lev1_name_pairs": (
             "WITH d AS (SELECT DISTINCT p_name FROM part) "

@@ -2047,3 +2047,42 @@ def cross_join_region_nation(sf_dir: str):
             "n_name": right["n_name"]})
 
     return region.map_batches(cross, batch_format="pyarrow")
+
+
+_ARGMAX_ID_BITS = 31  # event_id < 2^31 in the testdata; asserted per batch
+
+
+def argmax_event_per_user(sf_dir: str):
+    """Exact distributed ARG_MAX (the row with the max value per user,
+    smallest event_id on ties) as a PURE max-combine: pack
+    (value_c << 31) | (2^31-1 - event_id) into one int64 — the packing is
+    order-preserving, so a plain associative max() carries both the
+    winning value and its id through any tree/shuffle without ever moving
+    payload rows. Decode at the root. The bit-budget (value_c < 2^32,
+    id < 2^31) is asserted per batch; wider domains take two-level packing
+    or a struct max."""
+    from ..stages.hashagg import tree_aggregate
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    id_mask = (1 << _ARGMAX_ID_BITS) - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _as_scaled_int(t["value"], 100).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        assert v.min() >= 0 and v.max() < (1 << 32), "value_c out of pack range"
+        assert eid.min() >= 0 and eid.max() <= id_mask, "id out of pack range"
+        packed = (v << _ARGMAX_ID_BITS) | (id_mask - eid)
+        tb = pa.table({"user_id": t["user_id"],
+                       "packed": pa.array(packed, pa.int64())})
+        return pa.TableGroupBy(tb, ["user_id"]).aggregate([("packed", "max")])
+
+    out = tree_aggregate(ds, ["user_id"], partial, {"packed_max": "max"})
+
+    def decode(t: pa.Table) -> pa.Table:
+        p = t["packed_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "best_event_id": pa.array(id_mask - (p & id_mask), pa.int64()),
+            "best_value_c": pa.array(p >> _ARGMAX_ID_BITS, pa.int64())})
+
+    return out.map_batches(decode, batch_format="pyarrow")
