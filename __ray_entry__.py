@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_active_customers": R.semi_join_active_customers,
         "cross_join_region_nation": R.cross_join_region_nation,
         "argmax_event_per_user": R.argmax_event_per_user,
+        "containment_dups": R.containment_dups,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -705,6 +706,15 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY user_id ORDER BY "
             "CAST(round(value * 100, 0) AS BIGINT) DESC, event_id) AS rn "
             "FROM events) WHERE rn = 1"
+        ),
+        "containment_dups": (
+            "WITH " + _NGRAM_CTES + " "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g) "
+            "AS containment "
+            "FROM d a JOIN d b ON a.doc_id <> b.doc_id "
+            "WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) "
+            "/ len(a.g) >= 0.8"
         ),
         "lev1_name_pairs": (
             "WITH d AS (SELECT DISTINCT p_name FROM part) "

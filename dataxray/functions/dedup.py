@@ -516,15 +516,27 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.7, shingle_k: int = 3,
 
 def verify_pairs_jaccard(ds, pairs, threshold: float = 0.7, shingle_k: int = 3,
                          id_col: str = "doc_id", join_partitions: int = 8,
-                         bits: int = 32):
-    """Exact shingle-set Jaccard verification of candidate (id_a, id_b)
-    pairs against the corpus ``ds`` — emits (id_a, id_b, jaccard ≥ threshold).
+                         bits: int = 32, metric: str = "jaccard"):
+    """Exact shingle-set verification of candidate (id_a, id_b) pairs
+    against the corpus ``ds`` — emits (id_a, id_b, jaccard ≥ threshold).
+    ``metric``: "jaccard" = |A∩B|/|A∪B| (symmetric) or "containment" =
+    |A∩B|/|A| (directed; shingle-less A never matches — it produced no
+    candidate memberships either, keeping filter and verify consistent).
 
     Candidate ids (distinct over both pair sides) are a tiny fraction of
     the corpus, so the expensive re-tokenization (Shingler) runs only on
     matching rows — the full corpus text never tokenizes twice and never
     moves. The candidate shingle table is bounded by the LSH bucket caps."""
     import ray
+
+    if metric == "jaccard":
+        def score(sa: set, sb: set) -> float:
+            return 1.0 if not sa and not sb else len(sa & sb) / max(len(sa | sb), 1)
+    elif metric == "containment":
+        def score(sa: set, sb: set) -> float:
+            return len(sa & sb) / len(sa) if sa else -1.0
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
 
     def both_sides(t: pa.Table) -> pa.Table:
         return pa.table({"sid": pa.concat_arrays(
@@ -557,7 +569,7 @@ def verify_pairs_jaccard(ds, pairs, threshold: float = 0.7, shingle_k: int = 3,
             for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
                 sa = set(np.frombuffer(lut.get(a, b""), dtype=np.uint64).tolist())
                 sb = set(np.frombuffer(lut.get(b, b""), dtype=np.uint64).tolist())
-                j = 1.0 if not sa and not sb else len(sa & sb) / max(len(sa | sb), 1)
+                j = score(sa, sb)
                 if j >= threshold:
                     out["id_a"].append(a)
                     out["id_b"].append(b)
@@ -591,7 +603,7 @@ def verify_pairs_jaccard(ds, pairs, threshold: float = 0.7, shingle_k: int = 3,
                                 batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist()):
             sa = set(np.frombuffer(sa, dtype=np.uint64).tolist())
             sb = set(np.frombuffer(sb, dtype=np.uint64).tolist())
-            j = 1.0 if not sa and not sb else len(sa & sb) / max(len(sa | sb), 1)
+            j = score(sa, sb)
             if j >= threshold:
                 out["id_a"].append(a)
                 out["id_b"].append(b)
@@ -841,3 +853,105 @@ def embedding_dup_pairs_lsh(ds, threshold: float = 0.3, id_col: str = "vec_id",
     # the same dot product in every table; max makes any float jitter
     # across bucket shapes resolve deterministically)
     return tree_distinct(pairs, ["id_a", "id_b"], combine={"cosine": "max"})
+
+
+# ---------------------------------------------------------------------------
+# Containment join (directed: |A∩B| / |A| >= t — boilerplate / quote
+# detection; the asymmetric member of the PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+class FullShingleExplode:
+    """(sh_key, id) membership rows for EVERY shingle of every doc — the
+    index side of the containment join (B may be arbitrarily larger than
+    A, so only the probe side can be prefix-truncated)."""
+
+    def __init__(self, shingle_k: int = 3, id_col: str = "doc_id"):
+        self.k = shingle_k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, ids = [], []
+        for did, text in zip(
+                pc.cast(batch[self.id_col], pa.int64()).to_pylist(),
+                batch["text"].to_pylist()):
+            h = shingles64(text or "", self.k)
+            if len(h) == 0:
+                continue
+            keys.append(h)
+            ids.append(np.full(len(h), did, dtype=np.int64))
+        if not keys:
+            return pa.table({"sh_key": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], pa.int64())})
+        return pa.table({
+            "sh_key": pa.array(np.concatenate(keys).view(np.int64)),
+            self.id_col: pa.array(np.concatenate(ids))})
+
+
+def directed_pairs_from_bucket(g: pa.Table, id_col: str = "doc_id",
+                               max_bucket: int = 2048) -> pa.Table:
+    """(probe a, index b) pairs within one shingle bucket, a != b."""
+    side = g["side"].combine_chunks().to_numpy(zero_copy_only=False)
+    ids = np.asarray(g[id_col].combine_chunks().to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+    a = np.unique(ids[side == 0])
+    b = np.unique(ids[side == 1])
+    if len(a) > max_bucket or len(b) > max_bucket:
+        print(f"[dedup] containment bucket {len(a)}x{len(b)} capped to "
+              f"{max_bucket}")
+        a, b = a[:max_bucket], b[:max_bucket]
+    ii, jj = np.meshgrid(np.arange(len(a)), np.arange(len(b)),
+                         indexing="ij")
+    pa_, pb = a[ii.ravel()], b[jj.ravel()]
+    keep = pa_ != pb
+    return pa.table({"id_a": pa.array(pa_[keep], pa.int64()),
+                     "id_b": pa.array(pb[keep], pa.int64())})
+
+
+def containment_pairs(ds, threshold: float = 0.8, shingle_k: int = 3,
+                      id_col: str = "doc_id", max_bucket: int = 2048,
+                      join_partitions: int = 8):
+    """EXACT directed containment join: all (id_a, id_b), a != b, with
+    |shingles(a) ∩ shingles(b)| / |shingles(a)| >= threshold.
+
+    Prefix theorem (pigeonhole, any fixed total order): if A∩B >= t|A|
+    then at most (1-t)|A| of A's shingles miss B, so one of A's first
+    floor((1-t)|A|)+1 shingles is in B — EXACTLY the Jaccard prefix
+    length, so PrefixExplode is reused verbatim for the probe side. The
+    index side must carry ALL of B's shingles (B may dwarf A); frequency
+    ordering still shrinks probe memberships. Candidates then verify the
+    exact ratio on re-tokenized candidate docs only (metric="containment").
+    Shuffle volume: prefix rows + index rows of pair-producing shingles —
+    singleton shingles drop before the bucket stage, as in the Jaccard
+    join."""
+    import ray
+
+    ds = ds.materialize()
+    df_ref = shared_shingle_df(ds, shingle_k)
+
+    def tag(side_val):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(len(t), side_val, dtype=np.int8)))
+        return f
+
+    probe = ds.map_batches(PrefixExplode(threshold, shingle_k, id_col,
+                                         df_ref),
+                           batch_format="pyarrow", batch_size=1024) \
+        .map_batches(tag(0), batch_format="pyarrow")
+    index = ds.map_batches(FullShingleExplode(shingle_k, id_col),
+                           batch_format="pyarrow", batch_size=1024) \
+        .map_batches(tag(1), batch_format="pyarrow")
+    both = probe.union(index)
+    hot, hot_rows, sizes = multi_member_buckets(both, "sh_key",
+                                                join_partitions)
+    check_bucket_caps(sizes, max_bucket, "containment_pairs",
+                      on_capped="raise")
+    pairs = pairs_from_buckets(
+        hot, "sh_key",
+        lambda g: directed_pairs_from_bucket(g, id_col, max_bucket),
+        ["id_a", "id_b"], {}, hot_rows)
+    return verify_pairs_jaccard(ds, pairs, threshold=threshold,
+                                shingle_k=shingle_k, id_col=id_col,
+                                join_partitions=join_partitions, bits=64,
+                                metric="containment")

@@ -2086,3 +2086,18 @@ def argmax_event_per_user(sf_dir: str):
             "best_value_c": pa.array(p >> _ARGMAX_ID_BITS, pa.int64())})
 
     return out.map_batches(decode, batch_format="pyarrow")
+
+
+def containment_dups(sf_dir: str, threshold: float = 0.8):
+    """Directed shingle-containment join over documents (|Sa∩Sb|/|Sa| ≥
+    0.8) — detects quotes/boilerplate/subset docs that symmetric Jaccard
+    misses (functions/dedup.py containment_pairs; PPJoin-family prefix
+    filter on the probe side, full index side, exact verify)."""
+    from ..functions.dedup import containment_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = containment_pairs(ds, threshold=threshold)
+    return out.map_batches(
+        lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                            "containment": t["jaccard"]}),
+        batch_format="pyarrow")

@@ -46,3 +46,29 @@ def test_dup_span_stats_matches_oracle(ray_session, blocks):
     want = _oracle(docs, k)
     assert got == want
     assert got[100][1] >= 1, "planted duplicate span must be detected"
+
+
+@pytest.mark.parametrize("blocks", [1, 16])
+def test_containment_pairs_planted(ray_session, blocks):
+    """A is a strict prefix of B (containment(A in B)=1.0, reverse < 1);
+    C is unrelated."""
+    import ray.data
+
+    from dataxray.functions.dedup import containment_pairs, shingles64
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    big = base + " " + " ".join(f"extra{i}" for i in range(30))
+    other = " ".join(f"zzz{i}" for i in range(40))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([base, big, other]),
+    })).repartition(blocks)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in containment_pairs(ds, threshold=0.8).take_all()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (2, 1) not in got  # |S2 ∩ S1| / |S2| well below 0.8
+    assert all(3 not in k for k in got)
+    # exact ratio parity with the shingle sets
+    s1 = set(shingles64(base, 3).tolist())
+    s2 = set(shingles64(big, 3).tolist())
+    assert got[(1, 2)] == len(s1 & s2) / len(s1)
