@@ -132,6 +132,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_join_region_nation": R.cross_join_region_nation,
         "argmax_event_per_user": R.argmax_event_per_user,
         "containment_dups": R.containment_dups,
+        "kmv_distinct_users_by_type": R.kmv_distinct_users_by_type,
+        "kmv_jaccard_click_purchase": R.kmv_jaccard_click_purchase,
+        "tfidf_top_terms": R.tfidf_top_terms,
+        "rolling_avg_value": R.rolling_avg_value,
+        "url_host_stats": R.url_host_stats,
+        "unpivot_event_measures": R.unpivot_event_measures,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -141,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top5": R.knn_ivf_top5,
         "multimodal_features": R.multimodal_features,
         "image_resize": R.image_resize,
+        "pagerank_users": R.pagerank_user_graph,
     }
 
 
@@ -280,6 +287,7 @@ def reference_models() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": M.hll_distinct_users,
         "cms_user_counts": M.cms_user_counts,
         "hll_distinct_users_by_type": M.hll_distinct_users_by_type,
+        "pagerank_users": M.pagerank_users,
     }
 
 
@@ -721,5 +729,78 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.p_name AS name_a, b.p_name AS name_b "
             "FROM d a JOIN d b ON a.p_name < b.p_name "
             "WHERE levenshtein(a.p_name, b.p_name) = 1"
+        ),
+        # KMV bottom-k sketches, reproduced exactly: splitmix64 in HUGEINT
+        # limb arithmetic + row_number bottom-k (functions/sketches.py)
+        "kmv_distinct_users_by_type": (
+            "WITH h AS (SELECT DISTINCT event_type, "
+            f"{_SK.splitmix64_sql('user_id')} AS h FROM events), "
+            "r AS (SELECT event_type, h, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY h) AS rn FROM h), "
+            "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_k, "
+            "max(h) AS kth_h FROM r WHERE rn <= 64 GROUP BY event_type) "
+            "SELECT event_type, n_k, kth_h, "
+            "CASE WHEN n_k < 64 THEN CAST(n_k AS DOUBLE) "
+            "ELSE 63.0 / (CAST(kth_h AS DOUBLE) / 18446744073709551616.0) "
+            "END AS est_distinct FROM s"
+        ),
+        "kmv_jaccard_click_purchase": (
+            "WITH h AS (SELECT DISTINCT event_type, "
+            f"{_SK.splitmix64_sql('user_id')} AS h FROM events "
+            "WHERE event_type IN ('click', 'purchase')), "
+            "r AS (SELECT event_type, h, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY h) AS rn FROM h), "
+            "sk AS (SELECT event_type, h FROM r WHERE rn <= 64), "
+            "u AS (SELECT h, row_number() OVER (ORDER BY h) AS rn "
+            "FROM (SELECT DISTINCT h FROM sk)), "
+            "uk AS (SELECT h FROM u WHERE rn <= 64), "
+            "m AS (SELECT CAST(count(*) AS BIGINT) AS n_match FROM uk "
+            "WHERE h IN (SELECT h FROM sk WHERE event_type = 'click') "
+            "AND h IN (SELECT h FROM sk WHERE event_type = 'purchase')), "
+            "nu AS (SELECT CAST(count(*) AS BIGINT) AS n_union FROM uk) "
+            "SELECT n_match, n_union, "
+            "CAST(n_match AS DOUBLE) / n_union AS jaccard_est FROM m, nu"
+        ),
+        "tfidf_top_terms": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(string_split(coalesce(text, ''), ' ')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok GROUP BY doc_id, term), "
+            "df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) "
+            "AS df FROM tok GROUP BY term), "
+            "s AS (SELECT tf.doc_id, tf.term, tf.tf * "
+            "ln((SELECT count(*) FROM documents) * 1.0 / df.df) AS tfidf "
+            "FROM tf JOIN df USING (term)), "
+            "r AS (SELECT doc_id, term, tfidf, CAST(row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) "
+            "AS rk FROM s) "
+            "SELECT doc_id, term, tfidf, rk FROM r WHERE rk <= 3"
+        ),
+        "rolling_avg_value": (
+            "SELECT event_id, user_id, AVG(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_avg "
+            "FROM events"
+        ),
+        "url_host_stats": (
+            "WITH u AS (SELECT 'HTTPS://WWW.Site' || "
+            "CAST(user_id % 7 AS VARCHAR) || '.COM:443/p/' || "
+            "CAST(event_id AS VARCHAR) || '/?utm_source=x&id=' || "
+            "CAST(event_id % 5 AS VARCHAR) || '#frag' AS url FROM events), "
+            "c AS (SELECT regexp_replace(regexp_replace(url, '#.*$', ''), "
+            "'[?&]utm_[^&#]*', '') AS fu FROM u), "
+            "h AS (SELECT regexp_replace(regexp_replace(lower("
+            "regexp_replace(fu, '^([A-Za-z]+)://([^/]+).*$', "
+            "'\\1://\\2')), ':443$', ''), "
+            "'^https://www\\.', 'https://') AS head FROM c) "
+            "SELECT regexp_replace(head, '^https://', '') AS host, "
+            "CAST(count(*) AS BIGINT) AS n_pages FROM h GROUP BY host"
+        ),
+        "unpivot_event_measures": (
+            "SELECT event_id, 'value' AS measure, "
+            "CAST(value AS DOUBLE) AS val FROM events "
+            "UNION ALL SELECT event_id, 'user_id' AS measure, "
+            "CAST(user_id AS DOUBLE) AS val FROM events"
         ),
     }

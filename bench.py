@@ -310,7 +310,23 @@ def scaling_weak() -> None:
     events = {lo: small_gen["n_events"] + small_gen["n_urls"],
               hi: GEN["n_events"] + GEN["n_urls"]}
     c0 = _cpu_times()
-    for _round in range(int(os.environ.get("BENCH_WEAK_ROUNDS", "3"))):
+    # --until-clean (BENCH_WEAK_UNTIL_CLEAN=K): keep sampling past the fixed
+    # round count until BOTH levels have >= K samples under the steal gate,
+    # bounded by BENCH_WEAK_MAX_ROUNDS — noisy windows retry instead of
+    # reporting "rerun", calm windows stop early at the usual cost.
+    until_clean = int(os.environ.get("BENCH_WEAK_UNTIL_CLEAN", "0"))
+    base_rounds = int(os.environ.get("BENCH_WEAK_ROUNDS", "3"))
+    max_rounds = int(os.environ.get("BENCH_WEAK_MAX_ROUNDS",
+                                    str(max(base_rounds, 8))))
+
+    def n_clean(ss):
+        return sum(1 for s in ss if s.get("steal_pct", 0.0) <= max_steal)
+
+    _round = 0
+    while _round < base_rounds or (
+            until_clean and _round < max_rounds
+            and min(n_clean(samples[lo]), n_clean(samples[hi])) < until_clean):
+        _round += 1
         for ncpu, data_dir in ((lo, BENCH_DATA + "-q"), (hi, BENCH_DATA)):
             prog = (
                 "import ray, sys, time, shutil, os, json; sys.path.insert(0,'.'); "

@@ -112,3 +112,114 @@ def connected_components(edges, src: str = "a", dst: str = "b",
             break
         prev = cur
     return labels
+
+
+def pagerank(edges, src: str = "a", dst: str = "b", iters: int = 10,
+             damping: float = 0.85, num_buckets: int = 64):
+    """Distributed PageRank (Page et al. 1999, power iteration with the
+    dangling-mass correction), fixed ``iters`` rounds. ``edges`` is a
+    Dataset of int64 (src, dst) rows — duplicates count as parallel edges.
+    Returns a Dataset of (node, rank), ranks summing to 1.
+
+    Same join-free shape as connected_components: per round, rank rows and
+    the static adjacency rows cogroup in splitmix64(node) hash buckets.
+    Because a node's rank row and ALL its out-edges land in the same
+    bucket, both the out-degree (for the 1/deg edge weight) and dangling
+    detection are exact bucket-local computations — no degree broadcast,
+    no driver-side node state, ever. Each edge becomes a contribution
+    rank[u]/deg[u] on its target; each dangling rank row becomes mass on
+    a sentinel node, redistributed uniformly by the update map together
+    with the teleport term. One groupby-sum per round; all-to-all volume
+    O(|E|) per round; the driver holds only scalar dangling mass."""
+    SENT = np.int64(-1)
+
+    def _bkt(nodes: np.ndarray) -> pa.Array:
+        return pa.array((splitmix64(nodes) % np.uint64(num_buckets))
+                        .astype(np.int64))
+
+    def adjac(t: pa.Table) -> pa.Table:
+        u = t[src].combine_chunks().cast(pa.int64())
+        v = t[dst].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "bkt": _bkt(u.to_numpy(zero_copy_only=False)),
+            "u": u, "v": v,
+            "w": pa.nulls(len(u), pa.float64()),  # rank slot (null = edge)
+        })
+
+    und = edges.map_batches(adjac, batch_format="pyarrow").materialize()
+
+    def init_nodes(t: pa.Table) -> pa.Table:
+        n = pc.unique(pa.concat_arrays(
+            [t["u"].combine_chunks(), t["v"].combine_chunks()]))
+        return pa.table({"node": n})
+
+    nodes = (und.map_batches(init_nodes, batch_format="pyarrow")
+             .groupby("node").count()
+             .map_batches(lambda t: t.select(["node"]),
+                          batch_format="pyarrow").materialize())
+    n_nodes = nodes.count()
+    r0 = 1.0 / n_nodes
+
+    ranks = nodes.map_batches(
+        lambda t: t.append_column("rank",
+                                  pa.array([r0] * len(t), pa.float64())),
+        batch_format="pyarrow").materialize()
+
+    def lift(t: pa.Table) -> pa.Table:
+        n = t["node"].combine_chunks()
+        return pa.table({
+            "bkt": _bkt(n.to_numpy(zero_copy_only=False)),
+            "u": n, "v": pa.nulls(len(t), pa.int64()),
+            "w": t["rank"].combine_chunks(),  # rank rides the w slot
+        })
+
+    def contribute(g: pa.Table) -> pa.Table:
+        isrank = pc.is_null(g["v"]).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        us = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        vs = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        ws = g["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        rk, rv = us[isrank], ws[isrank]
+        order = np.argsort(rk, kind="stable")
+        rk, rv = rk[order], rv[order]
+        eu, ev = us[~isrank], vs[~isrank]
+        if len(eu):
+            # bucket-local == global out-degree: all of u's edges are here
+            uq, counts = np.unique(eu, return_counts=True)
+            pos = np.searchsorted(rk, eu)
+            contrib = rv[pos] / counts[np.searchsorted(uq, eu)]
+            dangling = ~np.isin(rk, uq)
+        else:
+            contrib = np.zeros(0)
+            dangling = np.ones(len(rk), dtype=bool)
+        out_n = np.concatenate([rk,                      # presence (0 mass)
+                                ev.astype(np.int64),
+                                np.full(int(dangling.sum()), SENT)])
+        out_m = np.concatenate([np.zeros(len(rk)), contrib, rv[dangling]])
+        return pa.table({"node": pa.array(out_n, pa.int64()),
+                         "mass": pa.array(out_m, pa.float64())})
+
+    for _ in range(iters):
+        inflow = (ranks.map_batches(lift, batch_format="pyarrow")
+                  .union(und)
+                  .groupby("bkt").map_groups(contribute,
+                                             batch_format="pyarrow")
+                  .groupby("node").sum("mass")
+                  .map_batches(lambda t: t.rename_columns(["node", "mass"]),
+                               batch_format="pyarrow")
+                  .materialize())
+        dsum = inflow.map_batches(
+            lambda t: t.filter(pc.equal(t["node"], SENT)),
+            batch_format="pyarrow").sum("mass", ignore_nulls=True) or 0.0
+        base = (1.0 - damping) / n_nodes + damping * dsum / n_nodes
+
+        def update(t: pa.Table, b=base) -> pa.Table:
+            t = t.filter(pc.not_equal(t["node"], SENT))
+            m = t["mass"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({"node": t["node"],
+                             "rank": pa.array(b + damping * m,
+                                              pa.float64())})
+
+        ranks = inflow.map_batches(update,
+                                   batch_format="pyarrow").materialize()
+    return ranks

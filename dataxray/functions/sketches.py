@@ -277,3 +277,78 @@ def cms_counts(ds, col: str, query_keys: np.ndarray,
         for r in b["c"].to_pylist():
             total += np.asarray(r, dtype=np.int64)
     return cms_query(total.reshape(depth, width), query_keys)
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def _kmv_bottom_k(t: pa.Table, group_col: str, k: int) -> pa.Table:
+    """Distinct (group, h) rows truncated to the k SMALLEST h per group.
+    Pure set-function of the input rows (dedup + per-group bottom-k), so
+    applying it at every tree level is associative/commutative/idempotent."""
+    import pyarrow.compute as pc
+
+    if len(t) == 0:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "h": pa.array([], pa.uint64())})
+    t = t.group_by([group_col, "h"]).aggregate([])  # distinct
+    t = t.sort_by([(group_col, "ascending"), ("h", "ascending")])
+    g = t[group_col].combine_chunks()
+    codes = pc.dictionary_encode(g).indices.to_numpy(zero_copy_only=False)
+    # rank within group over the sorted layout: position − first position
+    _, first = np.unique(codes, return_index=True)
+    rank = np.arange(len(t)) - first[codes]
+    return t.filter(pa.array(rank < k))
+
+
+def kmv_by_group(ds, group_col: str, key_col: str, k: int = 64,
+                 fanin: int = 8) -> pa.Table:
+    """Per-group KMV sketch: THE k smallest distinct splitmix64(key) values
+    (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07). Returns a driver-side
+    table (group, h uint64) with ≤ k rows per group.
+
+    Mergeable and layout-independent: set-union then bottom-k is the same
+    whatever the block/tree shape, so the result is a pure function of the
+    per-group key SETS — the SQL oracle reproduces it row-exactly via
+    splitmix64_sql + row_number. Every tree level holds ≤ k rows per group
+    (groups × k × 16 bytes), so 10^10 keys reduce through metadata-sized
+    blocks; estimates and sketch set-ops (union / intersection / Jaccard)
+    then run driver-side on the tiny final table."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tb = pa.table({group_col: t[group_col],
+                       "h": pa.array(splitmix64(keys), pa.uint64())})
+        return _kmv_bottom_k(tb, group_col, k)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    refs = list(parts.to_arrow_refs())
+
+    @ray.remote(num_cpus=1)
+    def merge(*ts):
+        ts = [t for t in ts if t is not None and len(t)]
+        if not ts:
+            return _kmv_bottom_k(pa.table({}), group_col, k)
+        return _kmv_bottom_k(
+            pa.concat_tables(ts, promote_options="permissive"), group_col, k)
+
+    if len(refs) == 1:
+        refs = [merge.remote(refs[0])]  # fused reads: always combine once
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i:i + fanin])
+                for i in range(0, len(refs), fanin)]
+    return ray.get(refs[0]) if refs else _kmv_bottom_k(
+        pa.table({}), group_col, k)
+
+
+def kmv_estimate(n_k: int, kth_h: int, k: int) -> float:
+    """Distinct-count estimate from a bottom-k sketch: exact below k,
+    else (k−1) / θ with θ = kth_h / 2^64 (Beyer et al. unbiased form).
+    kth_h→DOUBLE rounds identically in numpy and DuckDB (IEEE nearest),
+    so the oracle matches bit-for-bit."""
+    if n_k < k:
+        return float(n_k)
+    return (k - 1) / (np.uint64(kth_h).astype(np.float64) / float(M64))

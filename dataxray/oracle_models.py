@@ -450,3 +450,30 @@ def hll_distinct_users_by_type(sf_dir: str, p: int = 12) -> pa.Table:
         out_e.append(int(round(est)))
     return pa.table({"event_type": pa.array(out_t, pa.string()),
                      "hll_users": pa.array(out_e, pa.int64())})
+
+
+def pagerank_users(sf_dir: str, iters: int = 10,
+                   damping: float = 0.85) -> pa.Table:
+    """Single-process PageRank reference: same graph lift (user_id →
+    10^6 + value_cents % 1000), same damped power iteration with uniform
+    dangling redistribution, in plain numpy."""
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                       columns=["user_id", "value"])
+    u = ev["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vc = np.round(ev["value"].to_numpy(zero_copy_only=False) * 100) \
+        .astype(np.int64)
+    v = 1000000 + (vc % 1000)
+    nodes = np.unique(np.concatenate([u, v]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    ui = np.array([idx[x] for x in u])
+    vi = np.array([idx[x] for x in v])
+    n = len(nodes)
+    deg = np.bincount(ui, minlength=n).astype(np.float64)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[deg == 0].sum()
+        inflow = np.zeros(n)
+        np.add.at(inflow, vi, r[ui] / deg[ui])
+        r = (1 - damping) / n + damping * (inflow + dangling / n)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "rank": pa.array(r, pa.float64())})

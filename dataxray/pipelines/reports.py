@@ -2101,3 +2101,245 @@ def containment_dups(sf_dir: str, threshold: float = 0.8):
         lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
                             "containment": t["jaccard"]}),
         batch_format="pyarrow")
+
+
+def kmv_distinct_users_by_type(sf_dir: str, k: int = 64):
+    """Per-event-type distinct-user estimate from a KMV bottom-k sketch
+    (functions/sketches.kmv_by_group): the k smallest distinct
+    splitmix64(user_id) per type reduce through metadata-sized tree levels;
+    the oracle reproduces sketch AND estimate exactly via splitmix64_sql."""
+    from ..functions.sketches import kmv_by_group, kmv_estimate
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    sk = kmv_by_group(ds, "event_type", "user_id", k=k)
+    gb = sk.group_by(["event_type"]).aggregate([("h", "count"), ("h", "max")])
+    types = gb["event_type"].to_pylist()
+    n_k = gb["h_count"].to_pylist()
+    kth = gb["h_max"].to_pylist()
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_k": pa.array(n_k, pa.int64()),
+        "kth_h": pa.array(kth, pa.uint64()),
+        "est_distinct": pa.array(
+            [kmv_estimate(n, h, k) for n, h in zip(n_k, kth)], pa.float64()),
+    }).sort_by("event_type")
+
+
+def kmv_jaccard_click_purchase(sf_dir: str, k: int = 64):
+    """Sketch-based set overlap: estimate |click ∩ purchase| / |click ∪
+    purchase| over user sets from the SAME bottom-k sketches (no re-read of
+    the raw data): U = bottom-k of A∪B, match = |{h ∈ U : h ∈ A ∧ h ∈ B}|,
+    ĵ = match/|U| (the standard KMV/theta-sketch Jaccard estimator).
+    Driver-side work is two k-row lists."""
+    from ..functions.sketches import kmv_by_group
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"]).map_batches(
+        lambda t: t.filter(pc.is_in(
+            t["event_type"],
+            value_set=pa.array(["click", "purchase"]))),
+        batch_format="pyarrow")
+    sk = kmv_by_group(ds, "event_type", "user_id", k=k)
+    a = set(sk.filter(pc.equal(sk["event_type"], "click"))["h"].to_pylist())
+    b = set(sk.filter(pc.equal(sk["event_type"], "purchase"))["h"].to_pylist())
+    union_k = sorted(a | b)[:k]
+    match = sum(1 for h in union_k if h in a and h in b)
+    n_union = len(union_k)
+    return pa.table({
+        "n_match": pa.array([match], pa.int64()),
+        "n_union": pa.array([n_union], pa.int64()),
+        "jaccard_est": pa.array([match / n_union if n_union else 0.0],
+                                pa.float64()),
+    })
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Per-document top-k TF-IDF terms (tf · ln(N/df), ties by term asc).
+
+    Scale shape: a document's terms never leave their batch (tf is
+    batch-local), so the only distributed reduction is the document-
+    frequency table — per-batch (term, n_docs) partials tree-combined,
+    then BROADCAST back (ray.put once) and applied with vectorized
+    pc.index_in; ranking is a batch-local lexsort. Assumes the vocabulary
+    fits a worker heap (true for natural-language shingle-free term
+    vocabularies; a join-based df application is the documented fallback)."""
+    import ray
+
+    from ..stages.hashagg import tree_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    n_docs = ds.count()
+
+    def expand(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(
+            pc.fill_null(t["text"].combine_chunks(), ""), " ")
+        parents = pc.list_parent_indices(lists)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()).take(parents),
+            "term": pc.list_flatten(lists)})
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        # docs are whole within a batch → per-batch distinct (doc, term)
+        # pairs are globally distinct; count per term is a pure sum
+        d = expand(t).group_by(["doc_id", "term"]).aggregate([])
+        g = d.group_by(["term"]).aggregate([("doc_id", "count")])
+        return pa.table({"term": g["term"],
+                         "df": pc.cast(g["doc_id_count"], pa.int64())})
+
+    df_tbl = pa.concat_tables(ray.get(
+        tree_aggregate(ds, ["term"], df_partial, {"df": "sum"})
+        .to_arrow_refs()))
+    df_ref = ray.put(df_tbl)
+
+    def score(t: pa.Table, df_r=df_ref) -> pa.Table:
+        e = expand(t)
+        if len(e) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tfidf": pa.array([], pa.float64()),
+                             "rk": pa.array([], pa.int64())})
+        tf = e.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        df_t = ray.get(df_r) if isinstance(df_r, ray.ObjectRef) else df_r
+        pos = pc.index_in(tf["term"], value_set=df_t["term"])
+        df = df_t["df"].take(pos).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        tfn = tf["count_all"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        tfidf = tfn * np.log(float(n_docs) / df)
+        doc = tf["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        term = np.asarray(tf["term"].to_pylist(), dtype=object)
+        order = np.lexsort((term, -tfidf, doc))
+        doc_s = doc[order]
+        _, first = np.unique(doc_s, return_index=True)
+        starts = np.zeros(len(doc_s), dtype=np.int64)
+        starts[first] = first
+        np.maximum.accumulate(starts, out=starts)
+        rank = np.arange(len(doc_s)) - starts + 1
+        keep = rank <= k
+        sel = order[keep]
+        return pa.table({
+            "doc_id": pa.array(doc[sel], pa.int64()),
+            "term": pa.array(term[sel].tolist(), pa.string()),
+            "tfidf": pa.array(tfidf[sel], pa.float64()),
+            "rk": pa.array(rank[keep], pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def rolling_avg_value(sf_dir: str):
+    """Moving average over a bounded row frame: AVG(value) OVER (PARTITION
+    BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT
+    ROW). One shuffle on user_id; per-group the frame sums come from one
+    cumsum on exact cents (windowed difference), divided per-row by the
+    frame length — no per-row Python."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts": t["ts"],
+                         "value_c": _as_scaled_int(t["value"], 100)})
+
+    def window(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        v = g["value_c"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = np.concatenate([[0], np.cumsum(v)])
+        n = len(v)
+        lo = np.maximum(np.arange(n) - 3, 0)
+        s = c[np.arange(n) + 1] - c[lo]
+        cnt = np.arange(n) + 1 - lo
+        return pa.table({"event_id": g["event_id"], "user_id": g["user_id"],
+                         "roll_avg": pa.array(s / (100.0 * cnt),
+                                              pa.float64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id").map_groups(window, batch_format="pyarrow"))
+
+
+def _synth_messy_urls(t: pa.Table) -> pa.Array:
+    """Deterministic Common-Crawl-style messy URLs from event columns:
+    mixed-case scheme/host, www. prefix, default :443 port, tracking query
+    params, fragments — the canonicalization fixture (no external data)."""
+    u64 = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    e64 = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    uid = pc.cast(pa.array(u64 % 7, pa.int64()), pa.string())
+    eid = pc.cast(t["event_id"], pa.string())
+    em5 = pc.cast(pa.array(e64 % 5, pa.int64()), pa.string())
+    return pc.binary_join_element_wise(
+        "HTTPS://WWW.Site", uid, ".COM:443/p/", eid,
+        "/?utm_source=x&id=", em5, "#frag", "")
+
+
+def url_host_stats(sf_dir: str):
+    """URL canonicalization + host-level rollup, the first step of every
+    web-corpus pipeline: strip fragment → drop tracking (utm_*) query
+    params → lowercase scheme+host → drop default :443 port and www. →
+    strip trailing slash, then GROUP BY registered host. All RE2 kernels
+    (pc.replace_substring_regex), mirrored verbatim by the DuckDB oracle's
+    regexp_replace chain; the aggregate is a batch-partial + tree combine,
+    so only (host, count) rows shuffle."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def canon_partial(t: pa.Table) -> pa.Table:
+        full = _synth_messy_urls(t)
+        full = pc.replace_substring_regex(full, r"#.*$", "")
+        full = pc.replace_substring_regex(full, r"[?&]utm_[^&#]*", "")
+        head = pc.utf8_lower(pc.replace_substring_regex(
+            full, r"^([A-Za-z]+)://([^/]+).*$", r"\1://\2"))
+        head = pc.replace_substring_regex(head, r":443$", "")
+        head = pc.replace_substring_regex(head, r"^https://www\.", "https://")
+        tail = pc.replace_substring_regex(full, r"^[A-Za-z]+://[^/]+", "")
+        tail = pc.replace_substring_regex(tail, r"/$", "")
+        url = pc.binary_join_element_wise(head, tail, "")
+        host = pc.replace_substring_regex(head, r"^https://", "")
+        g = pa.table({"host": host, "url": url}) \
+            .group_by(["host"]).aggregate([("url", "count")])
+        return pa.table({"host": g["host"],
+                         "n_pages": pc.cast(g["url_count"], pa.int64())})
+
+    import ray
+
+    from ..stages.hashagg import tree_aggregate
+
+    out = tree_aggregate(ds, ["host"], canon_partial, {"n_pages": "sum"})
+    return pa.concat_tables(ray.get(out.to_arrow_refs())).sort_by("host")
+
+
+def unpivot_event_measures(sf_dir: str):
+    """UNPIVOT/melt: one row per (event, measure) with measures value and
+    user_id as doubles — per-batch expansion, no shuffle."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        eid = t["event_id"].combine_chunks()
+        return pa.table({
+            "event_id": pa.concat_arrays([eid, eid]),
+            "measure": pa.array(["value"] * n + ["user_id"] * n,
+                                pa.string()),
+            "val": pa.concat_arrays([
+                pc.cast(t["value"], pa.float64()).combine_chunks(),
+                pc.cast(t["user_id"], pa.float64()).combine_chunks()]),
+        })
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def pagerank_user_graph(sf_dir: str, iters: int = 10):
+    """PageRank over a deterministic bipartite user→value-bucket graph
+    lifted from events (src = user_id, dst = 10^6 + value_cents % 1000 —
+    a synthetic but fixed link structure; no external data). Exercises the
+    iterative bucket-cogroup engine (functions/graph.pagerank): fixed 10
+    damped power-iteration rounds with exact dangling redistribution."""
+    from ..functions.graph import pagerank
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        vc = _as_scaled_int(t["value"], 100).to_numpy(zero_copy_only=False)
+        dst = pa.array(vc % 1000 + 1000000, pa.int64())
+        return pa.table({"a": pc.cast(t["user_id"], pa.int64()),
+                         "b": dst})
+
+    pr = pagerank(ds.map_batches(edges, batch_format="pyarrow"),
+                  iters=iters)
+    return pr.map_batches(
+        lambda t: t.select(["node", "rank"]), batch_format="pyarrow")
