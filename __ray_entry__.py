@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_avg_value": R.rolling_avg_value,
         "url_host_stats": R.url_host_stats,
         "unpivot_event_measures": R.unpivot_event_measures,
+        "entropy_quality": R.entropy_quality,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -148,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": R.multimodal_features,
         "image_resize": R.image_resize,
         "pagerank_users": R.pagerank_user_graph,
+        "kmeans_clusters": R.kmeans_clusters,
     }
 
 
@@ -288,6 +290,7 @@ def reference_models() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": M.cms_user_counts,
         "hll_distinct_users_by_type": M.hll_distinct_users_by_type,
         "pagerank_users": M.pagerank_users,
+        "kmeans_clusters": M.kmeans_clusters,
     }
 
 
@@ -802,5 +805,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(value AS DOUBLE) AS val FROM events "
             "UNION ALL SELECT event_id, 'user_id' AS measure, "
             "CAST(user_id AS DOUBLE) AS val FROM events"
+        ),
+        "entropy_quality": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(string_split(coalesce(text, ''), ' ')) AS term "
+            "FROM documents), "
+            "c AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c "
+            "FROM tok GROUP BY doc_id, term), "
+            "n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id) "
+            "SELECT c.doc_id, -sum((c * 1.0 / n) * log2(c * 1.0 / n)) "
+            "AS entropy FROM c JOIN n USING (doc_id) GROUP BY c.doc_id"
         ),
     }

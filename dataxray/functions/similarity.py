@@ -259,3 +259,117 @@ def knn_lsh(ds, query_ids: list[int], k: int = 5, num_planes: int = 8,
         return g.append_column("rank", pa.array(np.arange(1, len(g) + 1), pa.int64()))
 
     return cands.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic distributed k-means (fixed-point accumulators)
+# ---------------------------------------------------------------------------
+
+
+def _det_sqdist(m, c):
+    """Row-count-independent squared L2 distances: per-centroid elementwise
+    multiply + axis sum (numpy pairwise over the FIXED dim length only) —
+    BLAS gemm tiling varies with matrix shape and would let batch size
+    perturb last-ulp values, flipping boundary argmins between layouts."""
+    out = np.empty((m.shape[0], c.shape[0]), dtype=np.float64)
+    for j in range(c.shape[0]):
+        d = m - c[j]
+        out[:, j] = (d * d).sum(axis=1)
+    return out
+
+
+def kmeans_fit_assign(ds, k: int = 8, iters: int = 5,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      quant_bits: int = 20):
+    """Lloyd's k-means over an embedding column, built to be a pure
+    function of the data SET — layout/parallelism never changes a single
+    assignment, so a one-process numpy model reproduces it exactly:
+
+      * init: centroids = the vectors of the k smallest ids (deterministic,
+        no RNG);
+      * assign: squared-L2 argmin per batch (_det_sqdist — shape-stable
+        arithmetic), ties to the lowest cluster index;
+      * update: per-cluster sums accumulate in FIXED-POINT int64
+        (vectors quantized at 2^quant_bits) through the tree combine —
+        integer addition is associative/commutative, so the new centroid
+        (sum / (n·2^bits), evaluated in float64 on the driver) is
+        bit-identical whatever the block order. Float accumulation here
+        would drift with layout and flip boundary assignments.
+
+    Scale shape: per iteration one map_batches pass emitting flat
+    (cluster, dim, s, n) int64 partial rows (k·d per batch), combined by
+    the generic sum tree; the driver holds only the k×d centroid matrix,
+    broadcast back via ray.put. Returns a Dataset of (id_col, cluster)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.hashagg import tree_aggregate
+
+    ds = ds.materialize()
+    scale = float(1 << quant_bits)
+
+    # ---- init: vectors of the k smallest ids (two tiny passes) ----
+    def id_min(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64())}) \
+            .sort_by(id_col).slice(0, k)
+
+    small = pa.concat_tables(
+        [b for b in ds.map_batches(id_min, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]).sort_by(id_col).slice(0, k)
+    seed_ids = pa.array(sorted(small[id_col].to_pylist()), pa.int64())
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64())
+        return t.filter(pc.is_in(ids, value_set=seed_ids))
+
+    seeds = pa.concat_tables(
+        [b for b in ds.map_batches(seed_rows, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]).sort_by(id_col)
+    cent = _matrix(seeds[vec_col])[:k]
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        kk, dd = cent.shape
+
+        def partial(t: pa.Table, cref=cent_ref, kk=kk, dd=dd) -> pa.Table:
+            c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+            m = _matrix(t[vec_col])
+            a = np.argmin(_det_sqdist(m, c), axis=1)
+            q = np.rint(m * scale).astype(np.int64)
+            sums = np.zeros((kk, dd), dtype=np.int64)
+            np.add.at(sums, a, q)
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            # flat (cluster, dim) rows so the generic int-sum tree combines
+            # them — list columns would need a custom combiner
+            return pa.table({
+                "cluster": pa.array(np.repeat(np.arange(kk), dd), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dd), kk), pa.int64()),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(cnt, dd)),
+            })
+
+        agg = pa.concat_tables(ray.get(tree_aggregate(
+            ds, ["cluster", "dim"], partial,
+            {"s": "sum", "n": "sum"}).to_arrow_refs()))
+        cl = agg["cluster"].to_numpy(zero_copy_only=False)
+        dm = agg["dim"].to_numpy(zero_copy_only=False)
+        sums = np.zeros((kk, dd), dtype=np.int64)
+        cnt = np.zeros((kk, dd), dtype=np.int64)
+        sums[cl, dm] = agg["s"].to_numpy(zero_copy_only=False)
+        cnt[cl, dm] = agg["n"].to_numpy(zero_copy_only=False)
+        nz = cnt[:, 0] > 0
+        cent = cent.copy()
+        cent[nz] = sums[nz] / (cnt[nz, 0, None] * scale)
+
+    cent_ref = ray.put(cent)
+
+    def assign(t: pa.Table, cref=cent_ref) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        m = _matrix(t[vec_col])
+        a = np.argmin(_det_sqdist(m, c), axis=1)
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64()),
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    return ds.map_batches(assign, batch_format="pyarrow")

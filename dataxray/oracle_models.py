@@ -477,3 +477,42 @@ def pagerank_users(sf_dir: str, iters: int = 10,
         r = (1 - damping) / n + damping * (inflow + dangling / n)
     return pa.table({"node": pa.array(nodes, pa.int64()),
                      "rank": pa.array(r, pa.float64())})
+
+
+def _det_sqdist(m, c):
+    """Row-count-independent squared L2 (mirrors the engine's helper: BLAS
+    gemm tiling varies with matrix shape; per-centroid elementwise sums
+    over the fixed dim are layout-stable)."""
+    out = np.empty((m.shape[0], c.shape[0]), dtype=np.float64)
+    for j in range(c.shape[0]):
+        d = m - c[j]
+        out[:, j] = (d * d).sum(axis=1)
+    return out
+
+
+def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5,
+                    quant_bits: int = 20) -> pa.Table:
+    """Single-process mirror of kmeans_fit_assign: same seed-by-smallest-
+    ids init, same fixed-point int64 centroid accumulation (order-free),
+    same squared-L2 argmin with lowest-index tie-break."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t["embedding"].to_pylist()])
+    order = np.argsort(ids, kind="stable")
+    scale = float(1 << quant_bits)
+    cent = m[order[:k]].copy()
+    for _ in range(iters):
+        d2 = _det_sqdist(m, cent)
+        a = np.argmin(d2, axis=1)
+        q = np.rint(m * scale).astype(np.int64)
+        sums = np.zeros((k, m.shape[1]), dtype=np.int64)
+        np.add.at(sums, a, q)
+        cnt = np.bincount(a, minlength=k).astype(np.int64)
+        nz = cnt > 0
+        cent[nz] = sums[nz] / (cnt[nz, None] * scale)
+    d2 = _det_sqdist(m, cent)
+    a = np.argmin(d2, axis=1)
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "cluster": pa.array(a.astype(np.int64))})

@@ -2343,3 +2343,50 @@ def pagerank_user_graph(sf_dir: str, iters: int = 10):
                   iters=iters)
     return pr.map_batches(
         lambda t: t.select(["node", "rank"]), batch_format="pyarrow")
+
+
+def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5):
+    """Deterministic distributed k-means over the embeddings table
+    (functions/similarity.kmeans_fit_assign): Lloyd's iterations whose
+    centroid updates accumulate in fixed-point int64 through the combine
+    tree, so assignments are a pure function of the data set — the
+    single-process numpy model reproduces them exactly."""
+    from ..functions.similarity import kmeans_fit_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_fit_assign(ds, k=k, iters=iters)
+
+
+def entropy_quality(sf_dir: str):
+    """Per-document unigram Shannon entropy over whitespace tokens
+    (−Σ p·log2 p) — the repetition/quality signal used by corpus filters
+    (low entropy = templated/repetitious text). Documents are whole within
+    a batch, so the counting and entropy are batch-local Arrow groupby +
+    numpy — zero shuffle at any scale."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ent(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(
+            pc.fill_null(t["text"].combine_chunks(), ""), " ")
+        parents = pc.list_parent_indices(lists)
+        tok = pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()).take(parents),
+            "term": pc.list_flatten(lists)})
+        cnts = tok.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        doc = cnts["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = cnts["count_all"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        order = np.argsort(doc, kind="stable")
+        doc, c = doc[order], c[order]
+        uq, first = np.unique(doc, return_index=True)
+        tot = np.add.reduceat(c, first)
+        starts = np.zeros(len(doc), dtype=np.int64)
+        starts[first] = np.arange(len(first))
+        np.maximum.accumulate(starts, out=starts)
+        p = c / tot[starts]
+        contrib = -p * np.log2(p)
+        h = np.add.reduceat(contrib, first)
+        return pa.table({"doc_id": pa.array(uq, pa.int64()),
+                         "entropy": pa.array(h, pa.float64())})
+
+    return ds.map_batches(ent, batch_format="pyarrow")

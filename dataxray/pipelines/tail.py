@@ -162,3 +162,51 @@ def tail_replay(
             if idle < idle_polls:
                 time.sleep(poll_sec)
     return report
+
+
+@dataclass
+class LagReport:
+    """Consumer-lag snapshot for a lake tailing a WAL (the Kafka-consumer-
+    offset analog: how far behind the committed snapshot is)."""
+    wal_txn_hi: int         # newest transaction visible in the event log
+    applied_txn_low: int    # lowest per-partition applied watermark
+    applied_txn_high: int   # highest per-partition applied watermark
+    txn_lag: int            # wal_txn_hi - applied_txn_low (0 = caught up)
+    pending_files: int      # event files with rows above the low watermark
+    pending_rows_hint: int  # footer row-count sum of those files (upper
+    #                         bound: a pending file may be partially applied)
+    partitions_skewed: int  # partitions whose watermark < applied_txn_high
+
+
+def lag(events_dir: str, lake_dir: str) -> LagReport:
+    """Measure replication lag WITHOUT reading event data: the WAL side is
+    a footer-only scan (txn ranges + row counts per file), the lake side is
+    the manifest watermark map — both metadata-sized at any data scale.
+    The north-star throughput/lag metric a long-running tail service
+    exports between polls."""
+    from ..sources.wal import prune_files, scan_event_files
+    from ..state.checkpoint import global_low_watermark
+    from ..state.manifest import Lake
+
+    files = scan_event_files(events_dir)
+    wal_hi = max((f.txn_hi for f in files), default=-1)
+    lake = Lake(lake_dir)
+    if lake.exists():
+        wm = lake.watermarks()
+        low = global_low_watermark(wm, lake.num_partitions())
+        high = max(wm.values(), default=-1)
+        skew = sum(1 for v in wm.values() if v < high)
+        if len(wm) < lake.num_partitions():
+            skew += lake.num_partitions() - len(wm)
+    else:
+        low, high, skew = -1, -1, 0
+    pending = prune_files(files, low)
+    return LagReport(
+        wal_txn_hi=wal_hi,
+        applied_txn_low=low,
+        applied_txn_high=high,
+        txn_lag=max(wal_hi - low, 0),
+        pending_files=len(pending),
+        pending_rows_hint=sum(f.num_rows for f in pending),
+        partitions_skewed=skew,
+    )

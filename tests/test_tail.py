@@ -214,3 +214,36 @@ def test_tail_maintains_views_per_epoch(tmp_path):
         Lake(lake).dataset(columns=["lang", "text"])).sort_by("lang")
     assert got.to_pydict() == want.to_pydict()
     assert view.meta()["as_of_txn"] == max(Lake(lake).watermarks().values())
+
+
+def test_lag_metric_counts_down(tmp_path, ray_session):
+    """lag() is metadata-only: full backlog -> partial replay -> caught up."""
+    from dataxray.pipelines.tail import lag
+    from dataxray.pipelines.replay import replay
+
+    src = str(tmp_path / "gen2")
+    write_dataset(src, CFG, parallel=False)
+    events_dir = os.path.join(src, "events")
+    lake_dir = str(tmp_path / "lake2")
+
+    r0 = lag(events_dir, lake_dir)
+    assert r0.applied_txn_low == -1
+    assert r0.txn_lag == r0.wal_txn_hi + 1
+    assert r0.pending_files == CFG.n_shards
+    assert r0.pending_rows_hint > 0
+
+    # bootstrap one bounded chunk only (small byte budget => several chunks)
+    from dataxray.sources.wal import scan_event_files
+    one = sorted(scan_event_files(events_dir),
+                 key=lambda f: (f.txn_lo, f.path))[0]
+    replay([one], lake_dir, pages_path=os.path.join(src, "pages.parquet"),
+           cfg=ReplayConfig(num_partitions=4))
+    r1 = lag(events_dir, lake_dir)
+    assert 0 < r1.txn_lag <= r0.wal_txn_hi
+    assert r1.pending_files < r0.pending_files
+    assert r1.partitions_skewed == 0  # uniform advance within the chunk
+
+    replay(events_dir, lake_dir, cfg=ReplayConfig(num_partitions=4))
+    r2 = lag(events_dir, lake_dir)
+    assert r2.txn_lag == 0
+    assert r2.pending_files == 0 and r2.pending_rows_hint == 0
