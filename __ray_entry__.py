@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_host_stats": R.url_host_stats,
         "unpivot_event_measures": R.unpivot_event_measures,
         "entropy_quality": R.entropy_quality,
+        "copartitioned_join_lakes": R.copartitioned_join_lakes,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -805,6 +806,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(value AS DOUBLE) AS val FROM events "
             "UNION ALL SELECT event_id, 'user_id' AS measure, "
             "CAST(user_id AS DOUBLE) AS val FROM events"
+        ),
+        "copartitioned_join_lakes": (
+            "WITH ev AS (SELECT 'https://user' || CAST(user_id AS VARCHAR) "
+            "AS url, event_id AS txn_id, props AS text, "
+            "event_type AS lang, event_type, "
+            "CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) "
+            "AS text_b FROM events), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY url "
+            "ORDER BY txn_id DESC) AS rn FROM ev) "
+            "SELECT url, txn_id, lang, text, text_b FROM ranked "
+            "WHERE rn = 1 AND event_type <> 'error'"
         ),
         "entropy_quality": (
             "WITH tok AS (SELECT doc_id, "

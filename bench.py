@@ -46,6 +46,9 @@ QUERY_NAMES = [
     "stratified_sample_events",
     "hopping_window", "word_count_topk", "dup_span_stats",
     "lev1_name_pairs", "stats_moments",
+    "kmv_distinct_users_by_type", "tfidf_top_terms", "rolling_avg_value",
+    "url_host_stats", "pagerank_users", "kmeans_clusters",
+    "entropy_quality", "containment_dups",
 ]
 
 

@@ -2390,3 +2390,64 @@ def entropy_quality(sf_dir: str):
                          "entropy": pa.array(h, pa.float64())})
 
     return ds.map_batches(ent, batch_format="pyarrow")
+
+
+def _events_as_wal_metrics(sf_dir: str) -> str:
+    """Second WAL over the SAME url key space (payload = value cents as
+    text) — the co-partitioned-join fixture's B side."""
+    out = _scratch(sf_dir, "walb")
+    done = os.path.join(out, "_done")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by("event_id")
+    url = pc.binary_join_element_wise(
+        "https://user", pc.cast(t["user_id"], pa.string()), "")
+    op = pc.if_else(
+        pc.equal(t["event_type"], "signup"), pa.scalar("I"),
+        pc.if_else(pc.equal(t["event_type"], "error"), pa.scalar("D"),
+                   pa.scalar("U")))
+    is_del = pc.equal(op, "D")
+    cents = pc.cast(_as_scaled_int(t["value"], 100), pa.string())
+    wal = pa.table({
+        "url": url,
+        "txn_id": t["event_id"],
+        "seq": pa.nulls(len(t), pa.int64()).fill_null(0),
+        "op": op,
+        "warc_ts": pc.if_else(is_del, pa.scalar(None, t.schema.field("ts").type), t["ts"]),
+        "text": pc.if_else(is_del, pa.scalar(None, pa.string()), cents),
+        "lang": pc.if_else(is_del, pa.scalar(None, pa.string()), t["event_type"]),
+    })
+    n_shards = 4
+    per = (len(wal) + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        part = wal.slice(s * per, per)
+        if len(part):
+            pq.write_table(part, os.path.join(out, f"events-{s:05d}.parquet"))
+    open(done, "w").close()
+    return out
+
+
+def copartitioned_join_lakes(sf_dir: str):
+    """Storage-partitioned join (functions/joins.copartitioned_join): two
+    lakes bucketed by the same url partitioner join with ZERO shuffle —
+    one co-located Arrow hash join task per bucket. The A side is the
+    flagship CDC lake; the B side replays a metrics WAL over the same
+    keys; the oracle is the LWW window query joining both final states."""
+    from ..functions.joins import copartitioned_join
+
+    lakes = []
+    for name, wal in (("cpj-a", _events_as_wal(sf_dir)),
+                      ("cpj-b", _events_as_wal_metrics(sf_dir))):
+        lake = _scratch(sf_dir, name)
+        shutil.rmtree(lake, ignore_errors=True)
+        replay(wal, lake, cfg=ReplayConfig(num_partitions=16))
+        lakes.append(Lake(lake))
+    ds = copartitioned_join(
+        lakes[0], lakes[1], on="url", join_type="inner",
+        columns_a=["url", "txn_id", "text", "lang"],
+        columns_b=["url", "text"], right_suffix="_b")
+    return ds.map_batches(
+        lambda t: t.select(["url", "txn_id", "lang", "text", "text_b"]),
+        batch_format="pyarrow")

@@ -64,3 +64,47 @@ def test_full_outer_groupjoin_matches_duckdb(seed):
         "coalesce(b, -1) AS b FROM l FULL OUTER JOIN r ON k = j "
         "ORDER BY key, a, b").fetchdf().astype("int64").reset_index(drop=True)
     assert got.equals(want), (len(got), len(want))
+
+
+def test_copartitioned_join_matches_plain_join(tmp_path, ray_session):
+    """Shuffle-free bucket join == the global join, and the partitioner /
+    generation guards refuse mis-bucketed inputs."""
+    import os
+
+    import pytest
+
+    from dataxray.functions.joins import copartitioned_join
+    from dataxray.gen import GenConfig, write_dataset
+    from dataxray.pipelines.replay import ReplayConfig, replay
+    from dataxray.state.manifest import Lake
+
+    cfg = GenConfig(n_urls=120, n_events=1_000, n_shards=4, html_mean=8)
+    src = str(tmp_path / "gen")
+    write_dataset(src, cfg, parallel=False)
+    la, lb = str(tmp_path / "la"), str(tmp_path / "lb")
+    for lk in (la, lb):
+        replay(os.path.join(src, "events"), lk,
+               pages_path=os.path.join(src, "pages.parquet"),
+               cfg=ReplayConfig(num_partitions=4))
+    out = copartitioned_join(
+        Lake(la), Lake(lb), on="url", join_type="inner",
+        columns_a=["url", "txn_id"], columns_b=["url", "txn_id"],
+        right_suffix="_b")
+    got = out.to_pandas().sort_values("url").reset_index(drop=True)
+    a = Lake(la).read_all().to_pandas()
+    assert len(got) == len(a)  # same key set on both sides, 1:1 join
+    assert (got["txn_id"] == got["txn_id_b"]).all()
+
+    # partition-count mismatch refused
+    lc = str(tmp_path / "lc")
+    replay(os.path.join(src, "events"), lc,
+           pages_path=os.path.join(src, "pages.parquet"),
+           cfg=ReplayConfig(num_partitions=8))
+    with pytest.raises(ValueError, match="num_partitions"):
+        copartitioned_join(Lake(la), Lake(lc))
+
+    # generation mismatch refused even at equal P (evolve one side 4->8->4)
+    Lake(lb).evolve_partitions(8)
+    Lake(lb).evolve_partitions(4)
+    with pytest.raises(ValueError, match="generation"):
+        copartitioned_join(Lake(la), Lake(lb))
