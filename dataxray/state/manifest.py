@@ -656,6 +656,49 @@ class Lake:
             return pa.table({})
         return pa.concat_tables(parts, promote_options="permissive")
 
+    def lookup(self, urls: list[str], as_of_txn: int | None = None,
+               columns: list[str] | None = None) -> pa.Table:
+        """Primary-key point lookup: hash each url to its bucket and
+        resolve ONLY the touched partitions (≤ len(urls) of them, typically
+        ≪ P), then filter to the requested keys — the O(keys/P) GET path a
+        serving layer needs, no full scan, no shuffle. Distributed: one
+        task per touched partition; absent keys simply return no row.
+        ``as_of_txn`` looks up in a retained historical snapshot."""
+        import ray
+
+        from ..hashing import partition_of
+
+        if not urls:
+            return pa.table({})
+        gen = self._resolve_gen(None, as_of_txn)
+        p_of = partition_of(pa.array(urls, pa.string()),
+                            self.num_partitions())
+        by_part: dict[int, list[str]] = {}
+        for u, p in zip(urls, p_of.tolist()):
+            by_part.setdefault(int(p), []).append(u)
+        committed = self.watermarks(gen)
+        root = self.root
+
+        @ray.remote(num_cpus=1)
+        def fetch(p: int, keys: list[str]) -> pa.Table | None:
+            import pyarrow.compute as _pc
+
+            t = Lake(root).resolve(p, as_of_txn, gen)
+            if t is None:
+                return None
+            t = t.filter(_pc.is_in(t["url"],
+                                   value_set=pa.array(keys, pa.string())))
+            if columns:
+                t = t.select(columns)
+            return t if len(t) else None
+
+        refs = [fetch.remote(p, ks) for p, ks in sorted(by_part.items())
+                if p in committed]
+        parts = [t for t in ray.get(refs) if t is not None]
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(parts, promote_options="permissive")
+
     # ---------- change feed ----------
     def partition_changes(self, p: int, since_txn: int,
                           until_txn: int | None = None,

@@ -108,3 +108,32 @@ def test_copartitioned_join_matches_plain_join(tmp_path, ray_session):
     Lake(lb).evolve_partitions(4)
     with pytest.raises(ValueError, match="generation"):
         copartitioned_join(Lake(la), Lake(lb))
+
+
+def test_lake_lookup_point_get(tmp_path, ray_session):
+    """lookup() touches only hashed buckets and returns exactly the live
+    requested keys (absent + tombstoned keys yield no row)."""
+    import os
+
+    from dataxray.gen import GenConfig, write_dataset
+    from dataxray.pipelines.replay import ReplayConfig, replay
+    from dataxray.state.manifest import Lake
+
+    cfg = GenConfig(n_urls=100, n_events=800, n_shards=4, html_mean=8)
+    src = str(tmp_path / "gen3")
+    write_dataset(src, cfg, parallel=False)
+    lake_dir = str(tmp_path / "lkup")
+    replay(os.path.join(src, "events"), lake_dir,
+           pages_path=os.path.join(src, "pages.parquet"),
+           cfg=ReplayConfig(num_partitions=8))
+    lake = Lake(lake_dir)
+    all_rows = lake.read_all().to_pandas().set_index("url")
+    live = list(all_rows.index[:5])
+    got = lake.lookup(live + ["https://definitely-absent.example/x"]) \
+        .to_pandas().set_index("url")
+    assert sorted(got.index) == sorted(live)
+    for u in live:
+        assert got.loc[u, "text"] == all_rows.loc[u, "text"]
+    assert len(lake.lookup([])) == 0
+    cols = lake.lookup(live, columns=["url", "txn_id"])
+    assert cols.column_names == ["url", "txn_id"]
