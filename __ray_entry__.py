@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": R.image_resize,
         "pagerank_users": R.pagerank_user_graph,
         "kmeans_clusters": R.kmeans_clusters,
+        "video_frame_sample": R.video_frame_sample,
     }
 
 
@@ -292,6 +293,7 @@ def reference_models() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users_by_type": M.hll_distinct_users_by_type,
         "pagerank_users": M.pagerank_users,
         "kmeans_clusters": M.kmeans_clusters,
+        "video_frame_sample": M.video_frame_sample,
     }
 
 

@@ -23,6 +23,7 @@ import wave
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _emit(batch: pa.Table, col: str, cols: dict[str, pa.Array]) -> pa.Table:
@@ -317,3 +318,97 @@ def resize_images(ds, binary_col: str = "payload", out_w: int = 16,
         PpmResizer, fn_constructor_args=(binary_col, out_w, out_h),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# Video: concatenated-P6 container + frame sampling
+# ---------------------------------------------------------------------------
+
+
+def synth_ppmvid_bytes(key: int, w: int = 16, h: int = 12,
+                       n_frames: int = 24) -> bytes:
+    """Deterministic 'video': back-to-back P6 frames (an MJPEG-style
+    concatenated-stills container, library-free). Frame f varies content
+    by key*31 + f so temporal sampling is observable."""
+    return b"".join(synth_ppm_bytes(key * 31 + f, w, h)
+                    for f in range(n_frames))
+
+
+def split_ppmvid(b: bytes) -> list[bytes]:
+    """Split a concatenated-P6 stream into frame byte slices with a
+    positional header parse (width/height per frame → payload length);
+    stops at the first unparsable frame (trailing garbage tolerated)."""
+    frames = []
+    pos = 0
+    while pos < len(b):
+        if b[pos:pos + 2] != b"P6":
+            break
+        p, fields = pos + 2, []
+        while len(fields) < 3 and p < len(b):
+            while p < len(b) and b[p:p + 1].isspace():
+                p += 1
+            if b[p:p + 1] == b"#":
+                while p < len(b) and b[p] != 0x0A:
+                    p += 1
+                continue
+            start = p
+            while p < len(b) and not b[p:p + 1].isspace():
+                p += 1
+            fields.append(b[start:p])
+        try:
+            w, h, maxval = (int(f) for f in fields)
+        except ValueError:
+            break
+        p += 1  # single whitespace after maxval
+        end = p + w * h * 3
+        if maxval > 255 or end > len(b):
+            break
+        frames.append(b[pos:end])
+        pos = end
+    return frames
+
+
+class VideoFrameSampler:
+    """Actor-pool FRAME-SAMPLE stage: parse the concatenated-P6 container,
+    take ``num_samples`` uniformly spaced frames (idx = i·n//k — the
+    deterministic strided pick), and emit ONE ROW PER SAMPLED FRAME with
+    the frame index, dimensions, and mean luma (exact integer sums →
+    double). Binary in, rows out — an ffmpeg/PyAV decoder drops into the
+    same signature for real codecs (reference has no media ops at all;
+    this is the §2.4 training-data surface). Batch sizes stay SMALL for
+    video payloads — the actor pool bounds decoded bytes in flight."""
+
+    def __init__(self, binary_col: str = "payload", id_col: str = "doc_id",
+                 num_samples: int = 4):
+        self.col = binary_col
+        self.id_col = id_col
+        self.k = num_samples
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, ws, hs, luma = [], [], [], [], []
+        for vid, b in zip(
+                pc.cast(batch[self.id_col], pa.int64()).to_pylist(),
+                batch[self.col].to_pylist()):
+            frames = split_ppmvid(b) if b else []
+            n = len(frames)
+            if n == 0:
+                continue
+            picks = sorted({i * n // self.k for i in range(min(self.k, n))})
+            for f in picks:
+                w, h, img = PpmDecoder.decode_one(frames[f])
+                # exact: integer channel sums, one float division at the end
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                lum = (299 * s[0] + 587 * s[1] + 114 * s[2]) / (
+                    1000.0 * w * h)
+                ids.append(vid)
+                fidx.append(f)
+                ws.append(w)
+                hs.append(h)
+                luma.append(lum)
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "mean_luma": pa.array(luma, pa.float64()),
+        })

