@@ -75,3 +75,60 @@ def test_repartition_to_single_partition(tmp_path):
     repartition_lake(src, dest, 1)
     after = Lake(dest).read_all().to_pandas().sort_values("url").reset_index(drop=True)
     assert before.equals(after)
+
+
+def test_export_snapshot_resumable(tmp_path, ray_session):
+    """Export == read_all; a partial export (some _done markers present)
+    resumes by writing only the unmarked buckets; predicate + columns
+    push through."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dataxray.gen import GenConfig, write_dataset
+    from dataxray.pipelines.maintenance import export_snapshot
+    from dataxray.pipelines.replay import ReplayConfig, replay
+    from dataxray.state.manifest import Lake
+
+    cfg = GenConfig(n_urls=120, n_events=1_000, n_shards=4, html_mean=8)
+    src = str(tmp_path / "gen")
+    write_dataset(src, cfg, parallel=False)
+    lake_dir = str(tmp_path / "lake")
+    replay(os.path.join(src, "events"), lake_dir,
+           pages_path=os.path.join(src, "pages.parquet"),
+           cfg=ReplayConfig(num_partitions=6))
+
+    dest = str(tmp_path / "out")
+    rep = export_snapshot(lake_dir, dest)
+    assert rep["written"] == 6 and rep["skipped"] == 0
+    got = pq.read_table(sorted(glob.glob(os.path.join(dest, "part-*.parquet")))[0])
+    assert "url" in got.column_names
+
+    import pandas as pd
+    all_parts = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(os.path.join(dest, "part-*.parquet")))],
+        promote_options="permissive")
+    want = Lake(lake_dir).read_all()
+    assert all_parts.num_rows == want.num_rows
+
+    # simulate a crash that lost two outputs: remove files + markers
+    for p in (1, 3):
+        os.remove(os.path.join(dest, f"part-{p:05d}.parquet"))
+        os.remove(os.path.join(dest, f"_done-{p:05d}"))
+    rep2 = export_snapshot(lake_dir, dest)
+    assert rep2["written"] == 2 and rep2["skipped"] == 4
+    all2 = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(os.path.join(dest, "part-*.parquet")))],
+        promote_options="permissive")
+    assert all2.num_rows == want.num_rows
+
+    # projection + predicate
+    dest2 = str(tmp_path / "out2")
+    export_snapshot(lake_dir, dest2, columns=["url", "txn_id"],
+                    predicate=[("url", ">=", "https://")])
+    t2 = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(os.path.join(dest2, "part-*.parquet")))],
+        promote_options="permissive")
+    assert set(t2.column_names) <= {"url", "txn_id"}
+    assert t2.num_rows == want.num_rows
