@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": R.cdc_time_travel,
         "cdc_change_feed": R.cdc_change_feed,
         "cdc_incremental_agg": R.cdc_incremental_agg,
+        "cdc_incremental_window": R.cdc_incremental_window,
         "lake_predicate_scan": R.lake_predicate_scan,
         # --- dx_* transform surface ---
         "dx_substr": R.dx_substr_part,
@@ -235,6 +236,22 @@ SELECT lang, COUNT(*) AS n_docs,
 FROM new GROUP BY lang ORDER BY lang
 """
 
+_INC_WIN_SQL = """
+WITH ev AS (
+  SELECT 'https://user' || CAST(user_id AS VARCHAR) AS url,
+         event_id AS txn_id, ts AS warc_ts, props AS text, event_type
+  FROM events
+), new AS (
+  SELECT warc_ts, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY txn_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT epoch_us(warc_ts) // 21600000000 AS window,
+       COUNT(*) AS n_rows, SUM(COALESCE(length(text), 0)) AS sum_len
+FROM new GROUP BY 1 ORDER BY 1
+"""
+
 _N_TOKENS = (
     "CASE WHEN trim(text) = '' THEN 0 "
     "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
@@ -305,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_time_travel": _TT_SQL,
         "cdc_change_feed": _CDF_SQL,
         "cdc_incremental_agg": _INC_AGG_SQL,
+        "cdc_incremental_window": _INC_WIN_SQL,
         "lake_predicate_scan": (
             _CDC_SQL + " AND url >= 'https://user2' AND url < 'https://user7'"
         ),

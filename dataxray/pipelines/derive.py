@@ -191,3 +191,97 @@ def incremental_group_stats(lake: Lake, since_txn: int,
         lake.changes(since_txn=since_txn, pre_images=True),
         group_col, text_col)
     return combine_stats(base, delta, group_col)
+
+
+# ---------------------------------------------------------------------------
+# Windowed variant: time-bucketed aggregates maintained from the change feed
+# ---------------------------------------------------------------------------
+
+
+def _empty_window_stats() -> pa.Table:
+    return pa.table({"window": pa.array([], pa.int64()),
+                     "n_rows": pa.array([], pa.int64()),
+                     "sum_len": pa.array([], pa.int64())})
+
+
+def _window_partial(t: pa.Table, width_us: int, ts_col: str,
+                    text_col: str, sign: np.ndarray | None = None) -> pa.Table:
+    """(window, n_rows, sum_len) partial with window = epoch_us // width —
+    the same integer bucketing the SQL oracle computes; ``sign`` makes it a
+    CDF delta partial."""
+    if len(t) == 0 or ts_col not in t.column_names:
+        return _empty_window_stats()
+    # normalize to µs regardless of the column's stored unit (ms-unit lakes
+    # would otherwise bucket 1000× too coarse; SQL epoch_us agrees)
+    us = pc.fill_null(
+        pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()), 0) \
+        .combine_chunks().to_numpy(zero_copy_only=False)
+    win = us // width_us
+    ln = pc.fill_null(pc.utf8_length(t[text_col]), 0) \
+        .cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    s = np.ones(len(t), dtype=np.int64) if sign is None else sign
+    tb = pa.table({"window": pa.array(win, pa.int64()),
+                   "n_rows": pa.array(s, pa.int64()),
+                   "sum_len": pa.array(np.asarray(ln, np.int64) * s)})
+    g = pa.TableGroupBy(tb, ["window"]).aggregate(
+        [("n_rows", "sum"), ("sum_len", "sum")])
+    return g.rename_columns(["window", "n_rows", "sum_len"])
+
+
+def grouped_window_stats(ds, width_us: int, ts_col: str = "warc_ts",
+                         text_col: str = "text") -> pa.Table:
+    import ray
+
+    from ..stages.hashagg import tree_aggregate
+
+    out = tree_aggregate(
+        ds, ["window"],
+        lambda t: _window_partial(t, width_us, ts_col, text_col),
+        {"n_rows": "sum", "sum_len": "sum"})
+    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+
+
+def cdf_delta_window(changes_ds, width_us: int, ts_col: str = "warc_ts",
+                     text_col: str = "text") -> pa.Table:
+    import ray
+
+    from ..stages.hashagg import tree_aggregate
+    from ..stages.merge import CHANGE_COL
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or CHANGE_COL not in t.column_names:
+            return _empty_window_stats()
+        ct = t[CHANGE_COL].combine_chunks().to_pylist()
+        try:
+            sign = np.array([_SIGN[c] for c in ct], dtype=np.int64)
+        except KeyError:
+            raise ValueError(
+                "cdf_delta_window needs changes(..., pre_images=True)")
+        return _window_partial(t, width_us, ts_col, text_col, sign)
+
+    out = tree_aggregate(changes_ds, ["window"], partial,
+                         {"n_rows": "sum", "sum_len": "sum"})
+    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+
+
+def incremental_window_stats(lake: Lake, since_txn: int, width_us: int,
+                             ts_col: str = "warc_ts",
+                             text_col: str = "text",
+                             base: pa.Table | None = None) -> pa.Table:
+    """Time-bucketed (window, n_rows, sum_len) over the lake maintained
+    from the pre-image change feed — the tumbling-window materialized view:
+    per refresh only changed rows' windows adjust (add postimage/insert,
+    subtract preimage/delete), O(changed keys) like the grouped variant.
+    Windows whose count reaches 0 drop out."""
+    if base is None:
+        base = grouped_window_stats(
+            lake.dataset(columns=[ts_col, text_col], as_of_txn=since_txn),
+            width_us, ts_col, text_col)
+    delta = cdf_delta_window(
+        lake.changes(since_txn=since_txn, pre_images=True),
+        width_us, ts_col, text_col)
+    both = pa.concat_tables([base, delta], promote_options="permissive")
+    g = pa.TableGroupBy(both, ["window"]).aggregate(
+        [("n_rows", "sum"), ("sum_len", "sum")])
+    g = g.rename_columns(["window", "n_rows", "sum_len"])
+    return g.filter(pc.not_equal(g["n_rows"], 0)).sort_by("window")

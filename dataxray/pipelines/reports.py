@@ -2474,3 +2474,17 @@ def video_frame_sample(sf_dir: str, num_samples: int = 4):
     return binry.map_batches(
         VideoFrameSampler("payload", "doc_id", num_samples),
         batch_format="pyarrow", batch_size=32, concurrency=2)
+
+
+def cdc_incremental_window(sf_dir: str, width_us: int = 21_600_000_000):
+    """Tumbling-window materialized view maintained from the pre-image
+    change feed (pipelines.derive.incremental_window_stats): the 6-hour
+    (window, n_rows, sum_len) aggregate is computed once at the epoch-1
+    snapshot, then adjusted by only the changed rows. The oracle recomputes
+    the window aggregate from scratch over the final LWW snapshot —
+    equality proves incremental == full."""
+    from .derive import incremental_window_stats
+
+    lake_dir, thr = _history_lake(sf_dir)
+    return incremental_window_stats(Lake(lake_dir), since_txn=thr,
+                                    width_us=width_us)
