@@ -72,3 +72,37 @@ def test_containment_pairs_planted(ray_session, blocks):
     s1 = set(shingles64(base, 3).tolist())
     s2 = set(shingles64(big, 3).tolist())
     assert got[(1, 2)] == len(s1 & s2) / len(s1)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_containment_pairs_random_vs_bruteforce(ray_session, seed):
+    """Random corpus with planted overlaps: the distributed prefix-filter
+    join returns EXACTLY the brute-force containment pair set."""
+    import numpy as np
+    import ray.data
+
+    from dataxray.functions.dedup import containment_pairs, shingles64
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(30):
+        n = int(rng.integers(8, 25))
+        docs.append(" ".join(rng.choice(vocab, size=n)))
+    # plant: doc 30 = prefix of doc 5's text, doc 31 = doc 12 verbatim
+    docs.append(" ".join(docs[5].split()[:10]))
+    docs.append(docs[12])
+    ids = list(range(len(docs)))
+    t = 0.8
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(docs)})).repartition(7)
+    got = {(r["id_a"], r["id_b"]) for r in
+           containment_pairs(ds, threshold=t).take_all()}
+
+    sets = {i: set(shingles64(d, 3).tolist()) for i, d in zip(ids, docs)}
+    want = {(a, b) for a in ids for b in ids
+            if a != b and sets[a]
+            and len(sets[a] & sets[b]) / len(sets[a]) >= t}
+    assert got == want
+    assert (31, 12) in want  # the planted duplicates actually exercised
