@@ -254,7 +254,25 @@ def _reader_wal(param: dict, channels: int):
     return ds, n
 
 
+def _reader_lake(param: dict, channels: int):
+    """Read a dataxray lake's resolved snapshot as a job source: streaming
+    Lake.dataset with column projection, (col, op, value) predicate
+    pushdown, and optional time travel (asOfTxn) — closes the config loop
+    lake → transform chain → any writer."""
+    from .state.manifest import Lake
+
+    lake = Lake(param["path"])
+    if not lake.exists():
+        raise ValueError(f"no lake at {param['path']}")
+    pred = [tuple(c) for c in param.get("predicate", [])] or None
+    as_of = param.get("asOfTxn")
+    ds = lake.dataset(columns=param.get("column"), predicate=pred,
+                      as_of_txn=int(as_of) if as_of is not None else None)
+    return ds, lake.num_partitions()
+
+
 READERS = {
+    "lakereader": _reader_lake,
     "parquetreader": _reader_parquet,
     "csvreader": _reader_csv,
     "txtfilereader": _reader_csv,

@@ -57,3 +57,43 @@ def test_json_and_orc_readers(tmp_path):
     }]}})
     files = [str(p) for p in (tmp_path / "out").glob("*.parquet")]
     assert sum(pq.read_metadata(f).num_rows for f in files) == 7
+
+
+def test_lakereader_job_roundtrip(tmp_path):
+    """lakereader closes the config loop: CDC-build a lake, then a second
+    job reads its resolved snapshot (projection + predicate) through the
+    transform chain into parquet."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "data2")
+    cfg = GenConfig(n_urls=300, n_events=600, n_shards=2, html_mean=16)
+    write_dataset(d, cfg, parallel=False)
+    lake = str(tmp_path / "lake2")
+    run_job({"job": {"content": [{
+        "reader": {"name": "walreader", "parameter": {"path": os.path.join(d, "events")}},
+        "writer": {"name": "lakewriter", "parameter": {
+            "path": lake, "pagesPath": os.path.join(d, "pages.parquet"),
+            "numPartitions": 4}},
+    }]}})
+    out = str(tmp_path / "export")
+    rep = run_job({"job": {"content": [{
+        "reader": {"name": "lakereader", "parameter": {
+            "path": lake, "column": ["url", "txn_id", "lang"],
+            "predicate": [["txn_id", ">=", 1]]}},
+        "transformer": [{"name": "dx_substr", "parameter": {
+            "columnName": "lang", "paras": ["0", "2"]}}],
+        "writer": {"name": "parquetwriter",
+                   "parameter": {"path": out, "writeMode": "truncate"}},
+    }]}})
+    import pyarrow.compute as pc
+
+    files = glob.glob(out + "/*.parquet")
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    snap = Lake(lake).read_all()
+    want = snap.filter(pc.greater_equal(snap["txn_id"], 1))
+    assert t.num_rows == want.num_rows
+    assert rep["content"][0]["sink"] == out
+    assert sorted(t.column_names) == ["lang", "txn_id", "url"]
+    assert all(len(x) <= 2 for x in t["lang"].to_pylist() if x is not None)
