@@ -3,7 +3,9 @@ recent runs — the operational visibility surface (counters/logStatistics
 analog, JobContainer.logStatistics:538-593).
 
 Usage: python tools/lake_info.py /path/to/lake [--runs N] [--compact]
-       (--compact resolves all delta-bearing partitions in place)
+       [--lag /path/to/events_dir]
+       (--compact resolves all delta-bearing partitions in place;
+        --lag prints replication lag vs a WAL directory — metadata only)
 """
 
 from __future__ import annotations
@@ -57,6 +59,16 @@ def main() -> None:
         total_files += len(m["files"])
         total_deltas += m.get("n_deltas", 0)
     print(f"txn watermark: low={lo} high={hi}  (lag spread {0 if lo is None else hi - lo})")
+    if "--lag" in sys.argv:
+        from dataxray.pipelines.tail import lag as wal_lag
+
+        events_dir = sys.argv[sys.argv.index("--lag") + 1]
+        r = wal_lag(events_dir, root)
+        print(f"replication lag vs {events_dir}: txn_lag={r.txn_lag} "
+              f"(wal_hi={r.wal_txn_hi} applied_low={r.applied_txn_low}) "
+              f"pending_files={r.pending_files} "
+              f"pending_rows<=~{r.pending_rows_hint:,} "
+              f"partitions_skewed={r.partitions_skewed}")
     print(f"files: {total_files}  delta files: {total_deltas}  "
           f"last-commit rows: {total_rows:,}  bytes: {total_bytes:,}")
     runs_dir = os.path.join(lake.base, "_runs")
