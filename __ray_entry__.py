@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_event_measures": R.unpivot_event_measures,
         "entropy_quality": R.entropy_quality,
         "copartitioned_join_lakes": R.copartitioned_join_lakes,
+        "html_text_extract": R.html_text_extract,
         # --- non-SQL-expressible (rows-only checks) ---
         "minhash_dedup": R.minhash_dedup,
         "minhash_dedup_incremental": R.minhash_dedup_incremental,
@@ -837,6 +838,11 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY txn_id DESC) AS rn FROM ev) "
             "SELECT url, txn_id, lang, text, text_b FROM ranked "
             "WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "html_text_extract": (
+            "SELECT doc_id, trim(regexp_replace("
+            "'t ' || coalesce(text, '') || ' footer', '\\s+', ' ', 'g')) "
+            "AS extracted FROM documents"
         ),
         "entropy_quality": (
             "WITH tok AS (SELECT doc_id, "

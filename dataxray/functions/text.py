@@ -257,3 +257,37 @@ def pack_sequences(ds, max_tokens: int = 512, id_col: str = "doc_id",
 
     sized = ds.map_batches(counts, batch_format="pyarrow")
     return sized.groupby("_bucket").map_groups(pack, batch_format="pyarrow")
+
+
+def html_to_text(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Library-free HTML → text extraction, fully vectorized (RE2 kernels,
+    no per-row Python): drop <script>/<style> subtrees wholesale, replace
+    every remaining tag (incl. comments) with a space, decode the basic
+    entities, collapse whitespace, trim. The first stage of every web-text
+    corpus pipeline (a trafilatura/bs4 extractor drops into the same
+    column signature for full-fidelity needs)."""
+    s = pc.fill_null(arr, "")
+    s = pc.replace_substring_regex(s, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = pc.replace_substring_regex(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    s = pc.replace_substring_regex(s, r"(?s)<!--.*?-->", " ")
+    s = pc.replace_substring_regex(s, r"(?s)<[^>]+>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        s = pc.replace_substring(s, ent, ch)
+    s = pc.replace_substring_regex(s, r"\s+", " ")
+    return pc.utf8_trim_whitespace(s)
+
+
+def wrap_html(arr: pa.ChunkedArray | pa.Array, title: str = "t") -> pa.Array:
+    """Deterministic inverse fixture for html_to_text: escape the text and
+    embed it in a page with head/script/style boilerplate. By construction
+    html_to_text(wrap_html(text)) == whitespace-normalized(text)."""
+    s = pc.fill_null(arr, "")
+    for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        s = pc.replace_substring(s, ch, ent)
+    return pc.binary_join_element_wise(
+        "<html><head><title>" + title + "</title>"
+        "<script type=\"text/javascript\">var x = 1 < 2;</script>"
+        "<style>.c{color:red}</style></head>"
+        "<body><!-- header --><h1>", s, "</h1><p>footer</p></body></html>",
+        "")

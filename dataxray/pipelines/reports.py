@@ -2488,3 +2488,23 @@ def cdc_incremental_window(sf_dir: str, width_us: int = 21_600_000_000):
     lake_dir, thr = _history_lake(sf_dir)
     return incremental_window_stats(Lake(lake_dir), since_txn=thr,
                                     width_us=width_us)
+
+
+def html_text_extract(sf_dir: str):
+    """HTML → text extraction (functions/text.html_to_text): documents are
+    deterministically wrapped into full pages (head/script/style
+    boilerplate, entity-escaped body) and the vectorized RE2 extractor must
+    invert the wrapping exactly — script/style subtrees dropped, tags →
+    whitespace, entities decoded, whitespace normalized. The oracle is the
+    original text (plus the page's real title/footer words), so any
+    extraction defect diverges byte-wise."""
+    from ..functions.text import html_to_text, wrap_html
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        html = wrap_html(t["text"].combine_chunks())
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "extracted": html_to_text(html)})
+
+    return ds.map_batches(run, batch_format="pyarrow")

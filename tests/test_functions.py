@@ -387,3 +387,30 @@ def test_ppm_resize_real_pixels():
 
     full = np.frombuffer(px, dtype=np.uint8).reshape(2, 4, 3)
     assert (small == full[[1]][:, [1, 3]]).all()
+
+
+def test_html_to_text_adversarial():
+    import pyarrow as pa
+
+    from dataxray.functions.text import html_to_text, wrap_html
+
+    cases = pa.array([
+        "<html><script>\nvar a = '<p>not text</p>';\n</script>"
+        "<body><h1>Title</h1><p>para   one</p>\n<p>two &amp; three "
+        "&lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end</p>"
+        "<style>p { display : none }</style><!-- <b>comment</b> --></body>",
+        "plain text, no markup",
+        "",
+        None,
+        "<SCRIPT SRC='x'>junk</SCRIPT>visible<STYLE>h{}</STYLE>",
+    ])
+    got = html_to_text(cases).to_pylist()
+    assert got[0] == ("Title para one two & three <tag> \"q\" 's' end")
+    assert got[1] == "plain text, no markup"
+    assert got[2] == "" and got[3] == ""
+    assert got[4] == "visible"  # case-insensitive script/style removal
+
+    # wrap/extract inversion on text containing specials
+    t = pa.array(["a & b < c > d", "x  y"])
+    out = html_to_text(wrap_html(t)).to_pylist()
+    assert out == ["t a & b < c > d footer", "t x y footer"]
