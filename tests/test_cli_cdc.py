@@ -97,3 +97,53 @@ def test_lakereader_job_roundtrip(tmp_path):
     assert rep["content"][0]["sink"] == out
     assert sorted(t.column_names) == ["lang", "txn_id", "url"]
     assert all(len(x) <= 2 for x in t["lang"].to_pylist() if x is not None)
+
+
+def test_wal_to_lake_to_rdbms_sync(tmp_path):
+    """The reference's flagship scenario composed end-to-end in config
+    only: change log -> lake (exactly-once LWW) -> serving RDBMS, then an
+    incremental epoch re-syncs via upsert — final sqlite state equals the
+    lake snapshot."""
+    import sqlite3
+
+    d = str(tmp_path / "data3")
+    cfg = GenConfig(n_urls=200, n_events=600, n_shards=4, html_mean=8)
+    write_dataset(d, cfg, parallel=False)
+    lake = str(tmp_path / "lake3")
+    db = str(tmp_path / "serve.db")
+    wal_stage = str(tmp_path / "walstage")
+    os.makedirs(wal_stage)
+    files = sorted(os.listdir(os.path.join(d, "events")))
+
+    import shutil
+
+    def sync(epoch_files):
+        for f in epoch_files:
+            shutil.copy(os.path.join(d, "events", f), wal_stage)
+        run_job({"job": {"content": [{
+            "reader": {"name": "walreader", "parameter": {"path": wal_stage}},
+            "writer": {"name": "lakewriter", "parameter": {
+                "path": lake, "pagesPath": os.path.join(d, "pages.parquet"),
+                "numPartitions": 4}},
+        }]}})
+        run_job({"job": {"content": [{
+            "reader": {"name": "lakereader", "parameter": {
+                "path": lake, "column": ["url", "txn_id", "lang"]}},
+            "writer": {"name": "rdbmswriter", "parameter": {
+                "path": db, "table": "pages", "createTable": True,
+                "writeMode": "replace",
+                # full-snapshot sync must clear rows deleted at the source
+                # (replace upserts, never deletes) — preSql @table, the
+                # reference's own idiom for that
+                "preSql": ["DELETE FROM @table"]}},
+        }]}})
+
+    sync(files[:2])
+    sync(files[2:])  # incremental epoch: upsert newer rows
+
+    con = sqlite3.connect(db)
+    got = dict(con.execute("SELECT url, txn_id FROM pages").fetchall())
+    want = {r["url"]: r["txn_id"]
+            for r in Lake(lake).read_all().select(["url", "txn_id"]).to_pylist()}
+    assert got == want
+    con.close()
