@@ -48,7 +48,8 @@ QUERY_NAMES = [
     "lev1_name_pairs", "stats_moments",
     "kmv_distinct_users_by_type", "tfidf_top_terms", "rolling_avg_value",
     "url_host_stats", "pagerank_users", "kmeans_clusters",
-    "entropy_quality", "containment_dups",
+    "entropy_quality", "containment_dups", "html_text_extract",
+    "cdc_incremental_window", "video_frame_sample",
 ]
 
 
