@@ -115,111 +115,178 @@ def connected_components(edges, src: str = "a", dst: str = "b",
 
 
 def pagerank(edges, src: str = "a", dst: str = "b", iters: int = 10,
-             damping: float = 0.85, num_buckets: int = 64):
-    """Distributed PageRank (Page et al. 1999, power iteration with the
-    dangling-mass correction), fixed ``iters`` rounds. ``edges`` is a
-    Dataset of int64 (src, dst) rows — duplicates count as parallel edges.
-    Returns a Dataset of (node, rank), ranks summing to 1.
+             damping: float = 0.85, num_buckets: int = 32):
+    """Distributed PageRank (Page et al. 1999, damped power iteration with
+    exact dangling redistribution), fixed ``iters`` rounds over a Dataset
+    of int64 (src, dst) rows (duplicates = parallel edges). Returns a
+    Dataset of (node, rank), ranks summing to 1.
 
-    Same join-free shape as connected_components: per round, rank rows and
-    the static adjacency rows cogroup in splitmix64(node) hash buckets.
-    Because a node's rank row and ALL its out-edges land in the same
-    bucket, both the out-degree (for the 1/deg edge weight) and dangling
-    detection are exact bucket-local computations — no degree broadcast,
-    no driver-side node state, ever. Each edge becomes a contribution
-    rank[u]/deg[u] on its target; each dangling rank row becomes mass on
-    a sentinel node, redistributed uniformly by the update map together
-    with the teleport term. One groupby-sum per round; all-to-all volume
-    O(|E|) per round; the driver holds only scalar dangling mass."""
-    SENT = np.int64(-1)
+    Shape, built for iteration: the adjacency is hash-bucketed by
+    splitmix64(src) % B ONCE (raw-task split/concat — the direct-exchange
+    machinery) and then NEVER moves again; per round only rank vectors and
+    pre-aggregated contributions travel. Each round is exactly B contrib
+    tasks (rank[u]/deg[u] per edge, summed per (target bucket, target
+    node), sliced into B outputs via num_returns) + B update tasks (sum
+    incoming slices, add teleport + dangling terms) + one driver-side sum
+    of B dangling scalars. No Dataset shuffle, no sort, no re-reading of
+    edges: per-round traffic is O(distinct (src-bucket, dst) pairs), never
+    O(|E|) re-exchange of the static graph. Because a node's rank row and
+    all its out-edges share a bucket, out-degree and dangling detection
+    are exact bucket-local computations — no degree broadcast, no driver
+    node state beyond two scalars. Caveat (documented partitioning
+    assumption): one bucket holds ALL out-edges of its nodes, so a single
+    node with a super-massive out-degree bounds that bucket's memory —
+    split such source rows upstream if the graph has them."""
+    import ray
 
-    def _bkt(nodes: np.ndarray) -> pa.Array:
-        return pa.array((splitmix64(nodes) % np.uint64(num_buckets))
-                        .astype(np.int64))
+    B = num_buckets
+
+    def _bkt(nodes: np.ndarray) -> np.ndarray:
+        return (splitmix64(nodes) % np.uint64(B)).astype(np.int64)
 
     def adjac(t: pa.Table) -> pa.Table:
         u = t[src].combine_chunks().cast(pa.int64())
         v = t[dst].combine_chunks().cast(pa.int64())
+        from ..schema import PART_COL
+
         return pa.table({
-            "bkt": _bkt(u.to_numpy(zero_copy_only=False)),
-            "u": u, "v": v,
-            "w": pa.nulls(len(u), pa.float64()),  # rank slot (null = edge)
-        })
+            PART_COL: pa.array(
+                _bkt(u.to_numpy(zero_copy_only=False)).astype(np.int32)),
+            "u": u, "v": v})
 
-    und = edges.map_batches(adjac, batch_format="pyarrow").materialize()
+    blocks = list(edges.map_batches(adjac, batch_format="pyarrow")
+                  .materialize().to_arrow_refs())
 
-    def init_nodes(t: pa.Table) -> pa.Table:
-        n = pc.unique(pa.concat_arrays(
-            [t["u"].combine_chunks(), t["v"].combine_chunks()]))
-        return pa.table({"node": n})
+    from ..stages.exchange import split_by_part
 
-    nodes = (und.map_batches(init_nodes, batch_format="pyarrow")
-             .groupby("node").count()
-             .map_batches(lambda t: t.select(["node"]),
-                          batch_format="pyarrow").materialize())
-    n_nodes = nodes.count()
+    @ray.remote(num_cpus=1, num_returns=max(B, 2))
+    def split(block: pa.Table):
+        out = split_by_part(block, B)
+        while len(out) < max(B, 2):
+            out.append(None)
+        return tuple(out)
+
+    pieces = [split.remote(b) for b in blocks]
+
+    @ray.remote(num_cpus=1)
+    def prep(b: int, *parts):
+        """Per-bucket prepared adjacency: edge arrays sorted by (u, v),
+        per-edge 1/deg weights, plus this bucket's node set (ALL endpoints
+        hashing here — targets and isolated-by-direction nodes included)."""
+        ts = [t for t in parts if t is not None and len(t)]
+        if ts:
+            t = pa.concat_tables(ts, promote_options="permissive")
+            eu = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+            ev = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.lexsort((ev, eu))
+            eu, ev = eu[order], ev[order]
+            uq, counts = np.unique(eu, return_counts=True)
+            w = 1.0 / counts[np.searchsorted(uq, eu)]
+        else:
+            eu = ev = np.zeros(0, dtype=np.int64)
+            w = np.zeros(0)
+        return eu, ev, w
+
+    # node discovery: every endpoint, bucketed by its own hash
+    @ray.remote(num_cpus=1, num_returns=max(B, 2))
+    def node_split(block: pa.Table):
+        ns = np.unique(np.concatenate([
+            block["u"].combine_chunks().to_numpy(zero_copy_only=False),
+            block["v"].combine_chunks().to_numpy(zero_copy_only=False)]))
+        bs = _bkt(ns)
+        order = np.argsort(bs, kind="stable")
+        ns, bs = ns[order], bs[order]
+        bounds = np.searchsorted(bs, np.arange(B + 1))
+        out = [ns[bounds[i]:bounds[i + 1]] for i in range(B)]
+        while len(out) < max(B, 2):
+            out.append(None)
+        return tuple(out)
+
+    @ray.remote(num_cpus=1)
+    def node_merge(*parts):
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return np.zeros(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    npieces = [node_split.remote(b) for b in blocks]
+    nodes_ref = {b: node_merge.remote(*[np[b] for np in npieces])
+                 for b in range(B)}
+    adj_ref = {b: prep.remote(b, *[pc_[b] for pc_ in pieces])
+               for b in range(B)}
+    @ray.remote(num_cpus=1)
+    def count_nodes(nodes) -> int:
+        return int(len(nodes))
+
+    n_nodes = int(sum(ray.get(
+        [count_nodes.remote(nodes_ref[b]) for b in range(B)])))
     r0 = 1.0 / n_nodes
 
-    ranks = nodes.map_batches(
-        lambda t: t.append_column("rank",
-                                  pa.array([r0] * len(t), pa.float64())),
-        batch_format="pyarrow").materialize()
+    @ray.remote(num_cpus=1)
+    def init_rank(nodes: np.ndarray):
+        return nodes, np.full(len(nodes), r0)
 
-    def lift(t: pa.Table) -> pa.Table:
-        n = t["node"].combine_chunks()
-        return pa.table({
-            "bkt": _bkt(n.to_numpy(zero_copy_only=False)),
-            "u": n, "v": pa.nulls(len(t), pa.int64()),
-            "w": t["rank"].combine_chunks(),  # rank rides the w slot
-        })
+    rank_ref = {b: init_rank.remote(nodes_ref[b]) for b in range(B)}
 
-    def contribute(g: pa.Table) -> pa.Table:
-        isrank = pc.is_null(g["v"]).combine_chunks() \
-            .to_numpy(zero_copy_only=False)
-        us = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
-        vs = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
-        ws = g["w"].combine_chunks().to_numpy(zero_copy_only=False)
-        rk, rv = us[isrank], ws[isrank]
-        order = np.argsort(rk, kind="stable")
-        rk, rv = rk[order], rv[order]
-        eu, ev = us[~isrank], vs[~isrank]
+    @ray.remote(num_cpus=1, num_returns=max(B, 2) + 1)
+    def contrib(rank, adj):
+        """B (node, mass) slices keyed by target bucket + dangling scalar."""
+        nodes, r = rank
+        eu, ev, w = adj
         if len(eu):
-            # bucket-local == global out-degree: all of u's edges are here
-            uq, counts = np.unique(eu, return_counts=True)
-            pos = np.searchsorted(rk, eu)
-            contrib = rv[pos] / counts[np.searchsorted(uq, eu)]
-            dangling = ~np.isin(rk, uq)
+            pos = np.searchsorted(nodes, eu)  # every source is a bucket node
+            mass = r[pos] * w
+            # pre-aggregate per (target bucket, target node)
+            tb = _bkt(ev)
+            order = np.lexsort((ev, tb))
+            tb, tv, tm = tb[order], ev[order], mass[order]
+            # sum runs of equal (tb, tv)
+            newrun = np.ones(len(tv), dtype=bool)
+            newrun[1:] = (tv[1:] != tv[:-1]) | (tb[1:] != tb[:-1])
+            starts = np.flatnonzero(newrun)
+            sums = np.add.reduceat(tm, starts)
+            rv, rb = tv[starts], tb[starts]
+            bounds = np.searchsorted(rb, np.arange(B + 1))
+            out = [(rv[bounds[i]:bounds[i + 1]],
+                    sums[bounds[i]:bounds[i + 1]]) for i in range(B)]
+            dangling = float(r[~np.isin(nodes, eu)].sum())
         else:
-            contrib = np.zeros(0)
-            dangling = np.ones(len(rk), dtype=bool)
-        out_n = np.concatenate([rk,                      # presence (0 mass)
-                                ev.astype(np.int64),
-                                np.full(int(dangling.sum()), SENT)])
-        out_m = np.concatenate([np.zeros(len(rk)), contrib, rv[dangling]])
-        return pa.table({"node": pa.array(out_n, pa.int64()),
-                         "mass": pa.array(out_m, pa.float64())})
+            out = [(np.zeros(0, dtype=np.int64), np.zeros(0))
+                   for _ in range(B)]
+            dangling = float(r.sum())
+        while len(out) < max(B, 2):
+            out.append(None)
+        return (*out, dangling)
+
+    @ray.remote(num_cpus=1)
+    def update(nodes: np.ndarray, base: float, *slices):
+        inflow = np.zeros(len(nodes))
+        for s in slices:
+            if s is None or len(s[0]) == 0:
+                continue
+            nv, ms = s
+            np.add.at(inflow, np.searchsorted(nodes, nv), ms)
+        return nodes, base + damping * inflow
 
     for _ in range(iters):
-        inflow = (ranks.map_batches(lift, batch_format="pyarrow")
-                  .union(und)
-                  .groupby("bkt").map_groups(contribute,
-                                             batch_format="pyarrow")
-                  .groupby("node").sum("mass")
-                  .map_batches(lambda t: t.rename_columns(["node", "mass"]),
-                               batch_format="pyarrow")
-                  .materialize())
-        dsum = inflow.map_batches(
-            lambda t: t.filter(pc.equal(t["node"], SENT)),
-            batch_format="pyarrow").sum("mass", ignore_nulls=True) or 0.0
+        outs = {b: contrib.remote(rank_ref[b], adj_ref[b]) for b in range(B)}
+        dsum = float(sum(ray.get([outs[b][max(B, 2)] for b in range(B)])))
         base = (1.0 - damping) / n_nodes + damping * dsum / n_nodes
+        rank_ref = {b: update.remote(nodes_ref[b], base,
+                                     *[outs[q][b] for q in range(B)])
+                    for b in range(B)}
 
-        def update(t: pa.Table, b=base) -> pa.Table:
-            t = t.filter(pc.not_equal(t["node"], SENT))
-            m = t["mass"].combine_chunks().to_numpy(zero_copy_only=False)
-            return pa.table({"node": t["node"],
-                             "rank": pa.array(b + damping * m,
-                                              pa.float64())})
+    @ray.remote(num_cpus=1)
+    def emit(rank) -> pa.Table:
+        nodes, r = rank
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "rank": pa.array(r, pa.float64())})
 
-        ranks = inflow.map_batches(update,
-                                   batch_format="pyarrow").materialize()
-    return ranks
+    import ray.data
+
+    refs = [emit.remote(rank_ref[b]) for b in range(B)]
+    sizes = ray.get([count_nodes.remote(nodes_ref[b]) for b in range(B)])
+    keep = [r for r, n in zip(refs, sizes) if n]
+    if not keep:
+        return ray.data.from_items([])
+    return ray.data.from_arrow_refs(keep)
