@@ -533,12 +533,16 @@ def verify_pairs_jaccard(ds, pairs, threshold: float = 0.7, shingle_k: int = 3,
     moves. The candidate shingle table is bounded by the LSH bucket caps."""
     import ray
 
+    # scores from (|A∩B|, |A|, |B|) — shingle arrays are sorted-distinct
+    # (shingles64), so |A∩B| is one C-speed np.intersect1d per pair, not a
+    # Python set build over every element
     if metric == "jaccard":
-        def score(sa: set, sb: set) -> float:
-            return 1.0 if not sa and not sb else len(sa & sb) / max(len(sa | sb), 1)
+        def score(inter: int, la: int, lb: int) -> float:
+            return 1.0 if la == 0 and lb == 0 else \
+                inter / max(la + lb - inter, 1)
     elif metric == "containment":
-        def score(sa: set, sb: set) -> float:
-            return len(sa & sb) / len(sa) if sa else -1.0
+        def score(inter: int, la: int, lb: int) -> float:
+            return inter / la if la else -1.0
     else:
         raise ValueError(f"unknown metric {metric!r}")
 
@@ -568,12 +572,16 @@ def verify_pairs_jaccard(ds, pairs, threshold: float = 0.7, shingle_k: int = 3,
 
         def broadcast_verify(batch: pa.Table) -> pa.Table:
             tbl = pa.concat_tables(ray.get(list(sh_refs)))
-            lut = dict(zip(tbl["sid"].to_pylist(), tbl["sh"].to_pylist()))
+            lut = {sid: np.frombuffer(b_, dtype=np.uint64)
+                   for sid, b_ in zip(tbl["sid"].to_pylist(),
+                                      tbl["sh"].to_pylist())}
+            empty = np.empty(0, dtype=np.uint64)
             out = {"id_a": [], "id_b": [], "jaccard": []}
             for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-                sa = set(np.frombuffer(lut.get(a, b""), dtype=np.uint64).tolist())
-                sb = set(np.frombuffer(lut.get(b, b""), dtype=np.uint64).tolist())
-                j = score(sa, sb)
+                sa = lut.get(a, empty)
+                sb = lut.get(b, empty)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                j = score(inter, len(sa), len(sb))
                 if j >= threshold:
                     out["id_a"].append(a)
                     out["id_b"].append(b)
@@ -605,9 +613,10 @@ def verify_pairs_jaccard(ds, pairs, threshold: float = 0.7, shingle_k: int = 3,
         out = {"id_a": [], "id_b": [], "jaccard": []}
         for a, b, sa, sb in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist(),
                                 batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist()):
-            sa = set(np.frombuffer(sa, dtype=np.uint64).tolist())
-            sb = set(np.frombuffer(sb, dtype=np.uint64).tolist())
-            j = score(sa, sb)
+            sa = np.frombuffer(sa, dtype=np.uint64)
+            sb = np.frombuffer(sb, dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            j = score(inter, len(sa), len(sb))
             if j >= threshold:
                 out["id_a"].append(a)
                 out["id_b"].append(b)
@@ -914,6 +923,49 @@ class FullShingleExplode:
             self.id_col: pa.array(np.concatenate(ids))})
 
 
+class ContainmentExplode:
+    """BOTH containment-join sides from ONE shingle pass per doc: probe
+    prefix rows (side 0, frequency-ordered prefix — same pigeonhole bound
+    as Jaccard) and df≥2 index rows (side 1). Each doc tokenizes and
+    blake2b-hashes exactly once — the fused form of PrefixExplode +
+    FullShingleExplode, whose ordering/membership helpers it composes."""
+
+    def __init__(self, threshold: float, shingle_k: int = 3,
+                 id_col: str = "doc_id", df_ref=None):
+        self.id_col = id_col
+        self.k = shingle_k
+        self._probe = PrefixExplode(threshold, shingle_k, id_col, df_ref)
+        self._index = FullShingleExplode(shingle_k, id_col, df_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        keys, ids, sides = [], [], []
+        for did, text in zip(
+                pc.cast(batch[self.id_col], pa.int64()).to_pylist(),
+                batch["text"].to_pylist()):
+            h = shingles64(text or "", self.k)
+            if len(h) == 0:
+                continue
+            p = len(h) - math.ceil(self._probe.t * len(h)) + 1
+            pref = self._probe._order(h)[:p]
+            shared = self._index._shared(h)
+            keys.append(pref)
+            ids.append(np.full(len(pref), did, dtype=np.int64))
+            sides.append(np.zeros(len(pref), dtype=np.int8))
+            keys.append(shared)
+            ids.append(np.full(len(shared), did, dtype=np.int64))
+            sides.append(np.ones(len(shared), dtype=np.int8))
+        if not keys:
+            return pa.table({"sh_key": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int8())})
+        return pa.table({
+            "sh_key": pa.array(np.concatenate(keys).view(np.int64)),
+            self.id_col: pa.array(np.concatenate(ids)),
+            "side": pa.array(np.concatenate(sides))})
+
+
 def directed_pairs_from_bucket(g: pa.Table, id_col: str = "doc_id",
                                max_bucket: int = 2048) -> pa.Table:
     """(probe a, index b) pairs within one shingle bucket, a != b."""
@@ -955,20 +1007,9 @@ def containment_pairs(ds, threshold: float = 0.8, shingle_k: int = 3,
     ds = ds.materialize()
     df_ref = shared_shingle_df(ds, shingle_k)
 
-    def tag(side_val):
-        def f(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "side", pa.array(np.full(len(t), side_val, dtype=np.int8)))
-        return f
-
-    probe = ds.map_batches(PrefixExplode(threshold, shingle_k, id_col,
-                                         df_ref),
-                           batch_format="pyarrow", batch_size=1024) \
-        .map_batches(tag(0), batch_format="pyarrow")
-    index = ds.map_batches(FullShingleExplode(shingle_k, id_col, df_ref),
-                           batch_format="pyarrow", batch_size=1024) \
-        .map_batches(tag(1), batch_format="pyarrow")
-    both = probe.union(index)
+    both = ds.map_batches(
+        ContainmentExplode(threshold, shingle_k, id_col, df_ref),
+        batch_format="pyarrow", batch_size=1024)
     hot, hot_rows, sizes = multi_member_buckets(both, "sh_key",
                                                 join_partitions)
     check_bucket_caps(sizes, max_bucket, "containment_pairs",
