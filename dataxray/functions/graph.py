@@ -289,4 +289,7 @@ def pagerank(edges, src: str = "a", dst: str = "b", iters: int = 10,
     keep = [r for r, n in zip(refs, sizes) if n]
     if not keep:
         return ray.data.from_items([])
+    # settle refs before Dataset construction (see manifest.changes: a Ray
+    # core ref-count race on still-pending inlined outputs)
+    ray.wait(keep, num_returns=len(keep), fetch_local=False)
     return ray.data.from_arrow_refs(keep)

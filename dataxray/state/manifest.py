@@ -757,7 +757,14 @@ class Lake:
             parts = sorted(self.watermarks(g_until))
             if not parts:
                 return ray.data.from_items([])
-            return ray.data.from_arrow_refs([_diff.remote(p) for p in parts])
+            refs = [_diff.remote(p) for p in parts]
+            # settle the refs before handing them to Dataset: building a
+            # Dataset over still-pending tiny task outputs intermittently
+            # trips a Ray core ref-count race (reference_count.cc CHECK on
+            # inlined dependencies, observed twice in gate sweeps); waiting
+            # costs nothing — the diffs must finish before any consumer
+            ray.wait(refs, num_returns=len(refs), fetch_local=False)
+            return ray.data.from_arrow_refs(refs)
 
         # ---- cross-generation window ----
         old_parts = sorted(self.watermarks(g_since))
@@ -799,10 +806,10 @@ class Lake:
             return diff_snapshots(old, new, pre_images=pre_images)
 
         outs = {q: _split_old.remote(q) for q in old_parts}
-        return ray.data.from_arrow_refs([
-            _diff_new.remote(p, *[outs[q][p] for q in old_parts])
-            for p in new_parts
-        ])
+        refs = [_diff_new.remote(p, *[outs[q][p] for q in old_parts])
+                for p in new_parts]
+        ray.wait(refs, num_returns=len(refs), fetch_local=False)
+        return ray.data.from_arrow_refs(refs)
 
     def changes_table(self, since_txn: int, until_txn: int | None = None,
                       pre_images: bool = False) -> pa.Table:
@@ -913,9 +920,9 @@ class Lake:
                     t = Predicate(conjuncts).filter_table(t)
                 return t.select(columns) if columns else t
 
-            pieces.append(ray.data.from_arrow_refs(
-                [_resolve.remote(p) for p in plan["delta_parts"]]
-            ))
+            refs = [_resolve.remote(p) for p in plan["delta_parts"]]
+            ray.wait(refs, num_returns=len(refs), fetch_local=False)
+            pieces.append(ray.data.from_arrow_refs(refs))
         if not pieces:
             return ray.data.from_items([])
         ds = pieces[0]
