@@ -1,28 +1,31 @@
-"""Distributed connected components — dup-pair clustering.
+"""Distributed iterative graph algorithms — connected components (dup-pair
+clustering) and PageRank — on a shared raw-task iteration engine.
 
 Dedup stages (MinHash/LSH, n-gram Jaccard, SimHash, embedding cosine) emit
 PAIRS; choosing one representative per duplicate *cluster* needs the
-transitive closure. This is iterative min-label propagation expressed in
-Ray Data ops (the MapReduce-CC family, Kiveris et al., "Connected
-components in MapReduce and beyond", SoCC'14 — the simple label-prop
-variant, adequate because near-dup clusters have tiny diameters):
+transitive closure (min-label propagation, the MapReduce-CC family,
+Kiveris et al. SoCC'14). PageRank ranks the same graphs.
 
-    labels <- node id
-    repeat: every node sends its label to its neighbors;
-            label(node) <- min(own, received); stop when no label moved.
+The engine (both algorithms): the STATIC adjacency hash-buckets by
+splitmix64(node) % B exactly once — raw split tasks (``num_returns=B``)
+feeding per-bucket concat/prep tasks, the direct-exchange machinery —
+into per-bucket object refs that never move again. Each round is then
+pure raw tasks: B message tasks read (state[b], adj[b]) and emit B
+pre-aggregated slices keyed by target bucket (MIN for labels, SUM for
+rank mass), plus B update tasks folding incoming slices into the bucket's
+state vector; the driver holds only per-round scalars (changed-count /
+dangling mass). Per-round traffic is O(distinct (source bucket, target)
+pairs) — never an O(|E|) re-exchange of the graph — and a node's state
+and all its out-edges share a bucket, so degrees/dangling/convergence are
+bucket-local. This is the documented "(c) raw Ray tasks" escape hatch:
+the Dataset API has no way to iterate against pinned per-bucket state
+without re-shuffling the static side every round.
 
-Scale shape per iteration:
-  * message generation is a HASH-BUCKET cogroup (labels ∪ adjacency
-    grouped by splitmix64(node) % num_buckets), with a vectorized
-    searchsorted merge inside each bucket — O(parallelism) Python calls
-    per round, NOT one per node;
-  * the label update is the native Arrow groupby-min (C speed).
-All-to-all volume is O(|E|) per round; rounds = O(cluster diameter)
-(2-4 for dup clusters, O(log n)-ish worst case for path graphs).
-Deliberately join-free: Ray Data's native Dataset.join crashes when a
-sparse side leaves a hash partition empty (see functions/joins.py), and
-label tables here are sparse by nature. Convergence is a cheap global
-sum(labels) check (labels only shrink, so an unchanged sum == fixpoint).
+Deliberately join-free (Ray Data's native join crashes on empty sparse
+hash partitions, see functions/joins.py). Partitioning assumption: one
+bucket holds all out-edges of its nodes — a single super-degree source
+bounds that bucket's memory; split such rows upstream if the graph has
+them.
 """
 
 from __future__ import annotations
@@ -35,83 +38,139 @@ from .sketches import splitmix64
 
 
 def connected_components(edges, src: str = "a", dst: str = "b",
-                         max_iters: int = 50, num_buckets: int = 64):
+                         max_iters: int = 50, num_buckets: int = 32):
     """Return a Dataset of (node, component) — component = min node id of
     the node's connected component. ``edges`` is a Dataset with int64
     columns ``src``/``dst``; isolated nodes (absent from edges) are the
-    caller's to handle (each is trivially its own component)."""
+    caller's to handle (each is trivially its own component).
 
-    def _bkt(nodes: np.ndarray) -> pa.Array:
-        return pa.array((splitmix64(nodes) % np.uint64(num_buckets))
-                        .astype(np.int64))
+    Same raw-task iteration engine as pagerank: the UNDIRECTED adjacency
+    (each edge stored both ways) hash-buckets by splitmix64(node) % B
+    ONCE into per-bucket object refs and never moves again; each round is
+    B propose tasks (label[u] pushed along out-edges, pre-MINNED per
+    (target bucket, target node), sliced via num_returns) + B update
+    tasks (label = min(own, incoming)) + one driver-side sum of B
+    changed-counts — convergence is exact (stop when no label moved).
+    Per-round traffic is O(distinct (src-bucket, neighbor) pairs); labels
+    only ever shrink, min is order-free, so the result is layout-exact.
+    Rounds = O(component diameter) (2-4 for dup clusters)."""
+    import ray
+
+    B = num_buckets
+
+    def _bkt(nodes: np.ndarray) -> np.ndarray:
+        return (splitmix64(nodes) % np.uint64(B)).astype(np.int64)
 
     def undirect(t: pa.Table) -> pa.Table:
+        from ..schema import PART_COL
+
         a = t[src].combine_chunks().cast(pa.int64())
         b = t[dst].combine_chunks().cast(pa.int64())
         u = pa.concat_arrays([a, b])
         v = pa.concat_arrays([b, a])
         return pa.table({
-            "bkt": _bkt(u.to_numpy(zero_copy_only=False)),
-            "u": u, "v": v,
-            "label": pa.nulls(len(u), pa.int64()),
-        })
+            PART_COL: pa.array(
+                _bkt(u.to_numpy(zero_copy_only=False)).astype(np.int32)),
+            "u": u, "v": v})
 
-    # materialized once: reused every iteration (a lazy handle would
-    # re-execute the upstream pair-mining pipeline per round)
-    und = edges.map_batches(undirect, batch_format="pyarrow").materialize()
+    blocks = list(edges.map_batches(undirect, batch_format="pyarrow")
+                  .materialize().to_arrow_refs())
 
-    def init_labels(t: pa.Table) -> pa.Table:
-        u = pc.unique(t["u"].combine_chunks())
-        return pa.table({"node": u, "label": u})
+    from ..stages.exchange import split_by_part
 
-    labels = (und.map_batches(init_labels, batch_format="pyarrow")
-              .groupby("node").min("label")
-              .map_batches(lambda t: t.rename_columns(["node", "label"]),
-                           batch_format="pyarrow").materialize())
+    @ray.remote(num_cpus=1, num_returns=max(B, 2))
+    def split(block: pa.Table):
+        out = split_by_part(block, B)
+        while len(out) < max(B, 2):
+            out.append(None)
+        return tuple(out)
 
-    def lift_lab(t: pa.Table) -> pa.Table:
-        n = t["node"].combine_chunks()
-        return pa.table({
-            "bkt": _bkt(n.to_numpy(zero_copy_only=False)),
-            "u": n, "v": pa.nulls(len(t), pa.int64()),
-            "label": t["label"].combine_chunks(),
-        })
+    pieces = [split.remote(b) for b in blocks]
 
-    def propose(g: pa.Table) -> pa.Table:
-        """One hash bucket: label rows (v null) + adjacency rows (label
-        null). Vectorized merge: attach label[u] to each adjacency row via
-        searchsorted on the bucket's sorted label keys, then emit the
-        label to every neighbor plus each node's own label."""
-        lab_mask = pc.is_valid(g["label"]).combine_chunks() \
-            .to_numpy(zero_copy_only=False)
-        nodes = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
-        labs = g["label"].combine_chunks().to_numpy(zero_copy_only=False)
-        vs = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
-        lk, lv = nodes[lab_mask], labs[lab_mask]
-        order = np.argsort(lk, kind="stable")
-        lk, lv = lk[order], lv[order]
-        eu, ev = nodes[~lab_mask], vs[~lab_mask]
-        # every edge endpoint was seeded into labels, so lookups always hit
-        lbl_u = lv[np.searchsorted(lk, eu)] if len(eu) else eu
-        out_nodes = np.concatenate([lk, ev.astype(np.int64)])
-        out_labels = np.concatenate([lv, lbl_u])
-        return pa.table({"node": pa.array(out_nodes, pa.int64()),
-                         "label": pa.array(out_labels, pa.int64())})
+    @ray.remote(num_cpus=1)
+    def prep(*parts):
+        """Per-bucket adjacency as (eu, ev) sorted by (u, v) — every node
+        with any edge appears as a source here (undirected doubling)."""
+        ts = [t for t in parts if t is not None and len(t)]
+        if not ts:
+            return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+        t = pa.concat_tables(ts, promote_options="permissive")
+        eu = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        ev = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, eu))
+        return eu[order], ev[order]
 
-    prev = labels.sum("label")
+    adj_ref = {b: prep.remote(*[pc_[b] for pc_ in pieces])
+               for b in range(B)}
+
+    @ray.remote(num_cpus=1)
+    def init_labels(adj):
+        eu, _ = adj
+        nodes = np.unique(eu)  # every endpoint is a source after doubling
+        return nodes, nodes.copy()
+
+    lab_ref = {b: init_labels.remote(adj_ref[b]) for b in range(B)}
+
+    @ray.remote(num_cpus=1, num_returns=max(B, 2))
+    def propose(lab, adj):
+        """Per-target-bucket (node, min incoming label) slices."""
+        nodes, labels = lab
+        eu, ev = adj
+        if len(eu) == 0:
+            out = []
+        else:
+            msg = labels[np.searchsorted(nodes, eu)]
+            tb = _bkt(ev)
+            order = np.lexsort((ev, tb))
+            tb, tv, tm = tb[order], ev[order], msg[order]
+            newrun = np.ones(len(tv), dtype=bool)
+            newrun[1:] = (tv[1:] != tv[:-1]) | (tb[1:] != tb[:-1])
+            starts = np.flatnonzero(newrun)
+            mins = np.minimum.reduceat(tm, starts)
+            rv, rb = tv[starts], tb[starts]
+            bounds = np.searchsorted(rb, np.arange(B + 1))
+            out = [(rv[bounds[i]:bounds[i + 1]],
+                    mins[bounds[i]:bounds[i + 1]]) for i in range(B)]
+        while len(out) < max(B, 2):
+            out.append(None)
+        return tuple(out)
+
+    @ray.remote(num_cpus=1, num_returns=2)
+    def update(lab, *slices):
+        nodes, labels = lab
+        new = labels.copy()
+        for s in slices:
+            if s is None or len(s[0]) == 0:
+                continue
+            nv, ml = s
+            pos = np.searchsorted(nodes, nv)
+            np.minimum.at(new, pos, ml)
+        changed = int((new != labels).sum())
+        return (nodes, new), changed
+
     for _ in range(max_iters):
-        lab_t = labels.map_batches(lift_lab, batch_format="pyarrow")
-        labels = (lab_t.union(und)
-                  .groupby("bkt").map_groups(propose, batch_format="pyarrow")
-                  .groupby("node").min("label")
-                  .map_batches(lambda t: t.rename_columns(["node", "label"]),
-                               batch_format="pyarrow")
-                  .materialize())
-        cur = labels.sum("label")
-        if cur == prev:
+        outs = {b: propose.remote(lab_ref[b], adj_ref[b]) for b in range(B)}
+        results = {b: update.remote(lab_ref[b],
+                                    *[outs[q][b] for q in range(B)])
+                   for b in range(B)}
+        lab_ref = {b: results[b][0] for b in range(B)}
+        if sum(ray.get([results[b][1] for b in range(B)])) == 0:
             break
-        prev = cur
-    return labels
+
+    @ray.remote(num_cpus=1)
+    def emit(lab) -> pa.Table:
+        nodes, labels = lab
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "label": pa.array(labels, pa.int64())})
+
+    import ray.data
+
+    refs = [emit.remote(lab_ref[b]) for b in range(B)]
+    sizes = [len(t) for t in ray.get(refs)]
+    keep = [r for r, n in zip(refs, sizes) if n]
+    if not keep:
+        return ray.data.from_items([])
+    return ray.data.from_arrow_refs(keep)
 
 
 def pagerank(edges, src: str = "a", dst: str = "b", iters: int = 10,
