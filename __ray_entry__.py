@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_users": R.pagerank_user_graph,
         "kmeans_clusters": R.kmeans_clusters,
         "video_frame_sample": R.video_frame_sample,
+        "bfs_hops_from_hub": R.bfs_hops_from_hub,
     }
 
 
@@ -312,6 +313,7 @@ def reference_models() -> dict[str, Callable[[str], Any]]:
         "pagerank_users": M.pagerank_users,
         "kmeans_clusters": M.kmeans_clusters,
         "video_frame_sample": M.video_frame_sample,
+        "bfs_hops_from_hub": M.bfs_hops_from_hub,
     }
 
 

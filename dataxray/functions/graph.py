@@ -352,3 +352,138 @@ def pagerank(edges, src: str = "a", dst: str = "b", iters: int = 10,
     # core ref-count race on still-pending inlined outputs)
     ray.wait(keep, num_returns=len(keep), fetch_local=False)
     return ray.data.from_arrow_refs(keep)
+
+
+def bfs_distances(edges, source: int, src: str = "a", dst: str = "b",
+                  max_iters: int = 10_000, num_buckets: int = 32,
+                  undirected: bool = True):
+    """Hop distances from ``source`` (BFS / unit-weight SSSP) — the third
+    algorithm on the raw-task iteration engine: identical shape to
+    connected_components with the min-combine over dist+1 instead of
+    labels (min-plus semiring). Returns a Dataset of (node, dist) for
+    REACHABLE nodes only; converges in eccentricity(source) rounds via the
+    exact changed-count check."""
+    import ray
+
+    B = num_buckets
+    INF = np.int64(np.iinfo(np.int64).max // 2)
+
+    def _bkt(nodes: np.ndarray) -> np.ndarray:
+        return (splitmix64(nodes) % np.uint64(B)).astype(np.int64)
+
+    def lift(t: pa.Table) -> pa.Table:
+        from ..schema import PART_COL
+
+        a = t[src].combine_chunks().cast(pa.int64())
+        b = t[dst].combine_chunks().cast(pa.int64())
+        if undirected:
+            u = pa.concat_arrays([a, b])
+            v = pa.concat_arrays([b, a])
+        else:
+            u, v = a, b
+        return pa.table({
+            PART_COL: pa.array(
+                _bkt(u.to_numpy(zero_copy_only=False)).astype(np.int32)),
+            "u": u, "v": v})
+
+    blocks = list(edges.map_batches(lift, batch_format="pyarrow")
+                  .materialize().to_arrow_refs())
+
+    from ..stages.exchange import split_by_part
+
+    @ray.remote(num_cpus=1, num_returns=max(B, 2))
+    def split(block: pa.Table):
+        out = split_by_part(block, B)
+        while len(out) < max(B, 2):
+            out.append(None)
+        return tuple(out)
+
+    pieces = [split.remote(b) for b in blocks]
+
+    @ray.remote(num_cpus=1)
+    def prep(*parts):
+        ts = [t for t in parts if t is not None and len(t)]
+        if not ts:
+            return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+        t = pa.concat_tables(ts, promote_options="permissive")
+        eu = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        ev = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, eu))
+        return eu[order], ev[order]
+
+    adj_ref = {b: prep.remote(*[pc_[b] for pc_ in pieces])
+               for b in range(B)}
+
+    @ray.remote(num_cpus=1)
+    def init_state(adj, b: int):
+        eu, ev = adj
+        nodes = np.unique(np.concatenate([eu, ev]))
+        nodes = nodes[_bkt(nodes) == b]  # targets may hash elsewhere
+        dist = np.full(len(nodes), INF)
+        hit = np.searchsorted(nodes, source)
+        if hit < len(nodes) and nodes[hit] == source:
+            dist[hit] = 0
+        return nodes, dist
+
+    st_ref = {b: init_state.remote(adj_ref[b], b) for b in range(B)}
+
+    @ray.remote(num_cpus=1, num_returns=max(B, 2))
+    def propose(state, adj):
+        nodes, dist = state
+        eu, ev = adj
+        out = []
+        if len(eu):
+            d = dist[np.searchsorted(nodes, eu)]
+            live = d < INF
+            if live.any():
+                tv, tm = ev[live], d[live] + 1
+                tb = _bkt(tv)
+                order = np.lexsort((tv, tb))
+                tb, tv, tm = tb[order], tv[order], tm[order]
+                newrun = np.ones(len(tv), dtype=bool)
+                newrun[1:] = (tv[1:] != tv[:-1]) | (tb[1:] != tb[:-1])
+                starts = np.flatnonzero(newrun)
+                mins = np.minimum.reduceat(tm, starts)
+                rv, rb = tv[starts], tb[starts]
+                bounds = np.searchsorted(rb, np.arange(B + 1))
+                out = [(rv[bounds[i]:bounds[i + 1]],
+                        mins[bounds[i]:bounds[i + 1]]) for i in range(B)]
+        while len(out) < max(B, 2):
+            out.append(None)
+        return tuple(out)
+
+    @ray.remote(num_cpus=1, num_returns=2)
+    def update(state, *slices):
+        nodes, dist = state
+        new = dist.copy()
+        for s in slices:
+            if s is None or len(s[0]) == 0:
+                continue
+            nv, md = s
+            np.minimum.at(new, np.searchsorted(nodes, nv), md)
+        return (nodes, new), int((new != dist).sum())
+
+    for _ in range(max_iters):
+        outs = {b: propose.remote(st_ref[b], adj_ref[b]) for b in range(B)}
+        results = {b: update.remote(st_ref[b],
+                                    *[outs[q][b] for q in range(B)])
+                   for b in range(B)}
+        st_ref = {b: results[b][0] for b in range(B)}
+        if sum(ray.get([results[b][1] for b in range(B)])) == 0:
+            break
+
+    @ray.remote(num_cpus=1)
+    def emit(state) -> pa.Table:
+        nodes, dist = state
+        keep = dist < INF
+        return pa.table({"node": pa.array(nodes[keep], pa.int64()),
+                         "dist": pa.array(dist[keep], pa.int64())})
+
+    import ray.data
+
+    refs = [emit.remote(st_ref[b]) for b in range(B)]
+    tables = ray.get(refs)
+    keep = [r for r, t in zip(refs, tables) if len(t)]
+    if not keep:
+        return ray.data.from_items([])
+    return ray.data.from_arrow_refs(keep)

@@ -551,3 +551,30 @@ def video_frame_sample(sf_dir: str, num_samples: int = 4,
         "height": pa.array(out["height"], pa.int64()),
         "mean_luma": pa.array(out["mean_luma"], pa.float64()),
     })
+
+
+def bfs_hops_from_hub(sf_dir: str, source: int = 1000000) -> pa.Table:
+    """Single-process BFS reference over the same graph lift."""
+    from collections import deque
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                       columns=["user_id", "value"])
+    u = ev["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vc = np.round(ev["value"].to_numpy(zero_copy_only=False) * 100) \
+        .astype(np.int64)
+    v = 1000000 + (vc % 1000)
+    adj: dict[int, set] = {}
+    for a, b in zip(u.tolist(), v.tolist()):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {source: 0} if source in adj else {}
+    q = deque(dist)
+    while q:
+        n = q.popleft()
+        for m in adj.get(n, ()):
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    nodes = sorted(dist)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "dist": pa.array([dist[n] for n in nodes], pa.int64())})

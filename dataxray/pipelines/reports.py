@@ -2508,3 +2508,22 @@ def html_text_extract(sf_dir: str):
                          "extracted": html_to_text(html)})
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+def bfs_hops_from_hub(sf_dir: str, source: int = 1000000):
+    """Hop distances from a hub node over the undirected user↔value-bucket
+    graph (same deterministic lift as pagerank_users) — BFS/unit-SSSP on
+    the shared raw-task graph engine (functions/graph.bfs_distances);
+    converges in eccentricity(source) rounds, reachable nodes only."""
+    from ..functions.graph import bfs_distances
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        vc = _as_scaled_int(t["value"], 100).to_numpy(zero_copy_only=False)
+        dst = pa.array(vc % 1000 + 1000000, pa.int64())
+        return pa.table({"a": pc.cast(t["user_id"], pa.int64()),
+                         "b": dst})
+
+    return bfs_distances(ds.map_batches(edges, batch_format="pyarrow"),
+                         source=source)

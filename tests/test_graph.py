@@ -57,3 +57,48 @@ def test_cc_random_matches_union_find(seed):
              rng.integers(0, 60, size=(80, 2)) if a != b]
     got = _run(edges, blocks=8)
     assert got == _uf_components(edges)
+
+
+@pytest.mark.parametrize("blocks", [1, 16])
+def test_bfs_matches_reference(ray_session, blocks):
+    """Distributed BFS == deque BFS on a random graph with an unreachable
+    island; path graph exercises multi-round convergence."""
+    from collections import deque
+
+    import ray.data
+
+    from dataxray.functions.graph import bfs_distances
+
+    rng = np.random.default_rng(5)
+    m = 2000
+    u = rng.integers(0, 150, size=m).astype(np.int64)
+    v = rng.integers(0, 150, size=m).astype(np.int64)
+    # island 900..905 (a path), unreachable from 0..149
+    iu = np.array([900, 901, 902, 903, 904], dtype=np.int64)
+    iv = iu + 1
+    u, v = np.concatenate([u, iu]), np.concatenate([v, iv])
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array(u), "b": pa.array(v)})).repartition(blocks)
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(ds, source=0, num_buckets=16).take_all()}
+
+    adj = {}
+    for a, b in zip(u.tolist(), v.tolist()):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {0: 0}
+    q = deque([0])
+    while q:
+        n = q.popleft()
+        for nb in adj[n]:
+            if nb not in dist:
+                dist[nb] = dist[n] + 1
+                q.append(nb)
+    assert got == dist
+    assert all(900 + i not in got for i in range(6))  # island excluded
+
+    # path island BFS from inside it: multi-round frontier expansion
+    got2 = {r["node"]: r["dist"]
+            for r in bfs_distances(ds, source=900,
+                                   num_buckets=16).take_all()}
+    assert got2 == {900 + i: i for i in range(6)}
