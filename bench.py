@@ -49,7 +49,7 @@ QUERY_NAMES = [
     "kmv_distinct_users_by_type", "tfidf_top_terms", "rolling_avg_value",
     "url_host_stats", "pagerank_users", "kmeans_clusters",
     "entropy_quality", "containment_dups", "html_text_extract",
-    "cdc_incremental_window", "video_frame_sample",
+    "cdc_incremental_window", "video_frame_sample", "bfs_hops_from_hub",
 ]
 
 
