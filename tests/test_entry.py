@@ -62,3 +62,18 @@ def test_query_matches_oracle(entrymod, con, name):
     assert sorted(got.columns) == sorted(want.columns)
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_entry_contract_key_consistency():
+    """Every oracle/model key maps to a real query; no query is silently
+    uncheckable (each has a SQL oracle or a py-model)."""
+    import __ray_entry__ as e
+
+    q = set(e.queries())
+    o = set(e.oracle_sql())
+    m = set(e.reference_models())
+    assert o <= q, o - q
+    assert m <= q, m - q
+    assert not (o & m), o & m  # exactly one checker per query
+    unchecked = q - o - m
+    assert not unchecked, unchecked
