@@ -233,8 +233,8 @@ WITH ev AS (
     FROM ev
   ) WHERE rn = 1 AND event_type <> 'error'
 )
-SELECT lang, COUNT(*) AS n_docs,
-       SUM(COALESCE(length(text), 0)) AS sum_len
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS sum_len
 FROM new GROUP BY lang ORDER BY lang
 """
 
@@ -249,8 +249,9 @@ WITH ev AS (
     FROM ev
   ) WHERE rn = 1 AND event_type <> 'error'
 )
-SELECT epoch_us(warc_ts) // 21600000000 AS window,
-       COUNT(*) AS n_rows, SUM(COALESCE(length(text), 0)) AS sum_len
+SELECT CAST(epoch_us(warc_ts) // 21600000000 AS BIGINT) AS window,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS sum_len
 FROM new GROUP BY 1 ORDER BY 1
 """
 
