@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_change_feed": R.cdc_change_feed,
         "cdc_incremental_agg": R.cdc_incremental_agg,
         "cdc_incremental_window": R.cdc_incremental_window,
+        "cdc_incremental_join": R.cdc_incremental_join,
         "lake_predicate_scan": R.lake_predicate_scan,
         # --- dx_* transform surface ---
         "dx_substr": R.dx_substr_part,
@@ -255,6 +256,38 @@ SELECT CAST(epoch_us(warc_ts) // 21600000000 AS BIGINT) AS window,
 FROM new GROUP BY 1 ORDER BY 1
 """
 
+# join-view oracle: both sides' FINAL LWW states re-joined from scratch —
+# equality proves the CDF-maintained join view's algebra. B's WAL maps
+# signup→I, error→D, else U over the same url keys (payload = value cents
+# as text), so both sides' survivors are the non-error LWW winners.
+_INC_JOIN_SQL = """
+WITH ev AS (
+  SELECT 'https://user' || CAST(user_id AS VARCHAR) AS url,
+         event_id AS txn_id, props AS text, event_type AS lang, event_type
+  FROM events
+), a AS (
+  SELECT url, text, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY txn_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1 AND event_type <> 'error'
+), evb AS (
+  SELECT 'https://user' || CAST(user_id AS VARCHAR) AS url,
+         event_id AS txn_id,
+         CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) AS text,
+         event_type
+  FROM events
+), b AS (
+  SELECT url, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY txn_id DESC) AS rn
+    FROM evb
+  ) WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT a.lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(COALESCE(length(a.text), 0) + COALESCE(length(b.text), 0))
+            AS BIGINT) AS sum_len
+FROM a JOIN b ON a.url = b.url GROUP BY a.lang ORDER BY a.lang
+"""
+
 _N_TOKENS = (
     "CASE WHEN trim(text) = '' THEN 0 "
     "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
@@ -327,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_change_feed": _CDF_SQL,
         "cdc_incremental_agg": _INC_AGG_SQL,
         "cdc_incremental_window": _INC_WIN_SQL,
+        "cdc_incremental_join": _INC_JOIN_SQL,
         "lake_predicate_scan": (
             _CDC_SQL + " AND url >= 'https://user2' AND url < 'https://user7'"
         ),

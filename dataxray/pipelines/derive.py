@@ -285,3 +285,213 @@ def incremental_window_stats(lake: Lake, since_txn: int, width_us: int,
         [("n_rows", "sum"), ("sum_len", "sum")])
     g = g.rename_columns(["window", "n_rows", "sum_len"])
     return g.filter(pc.not_equal(g["n_rows"], 0)).sort_by("window")
+
+
+# ---------------------------------------------------------------------------
+# Join-shaped variant: a copartitioned-join-derived aggregate maintained from
+# BOTH sides' pre-image change feeds
+# ---------------------------------------------------------------------------
+
+
+def _empty_join_stats() -> pa.Table:
+    return pa.table({"lang": pa.array([], pa.string()),
+                     "n_pairs": pa.array([], pa.int64()),
+                     "sum_len": pa.array([], pa.int64())})
+
+
+def _join_side(t: pa.Table | None, text_col: str,
+               lang_col: str | None) -> pa.Table:
+    """(url, _len[, lang]) projection of a resolved bucket state — the only
+    payload the join aggregate needs, so per-bucket join inputs stay tiny."""
+    if t is None or len(t) == 0 or "url" not in (t.column_names if t else []):
+        cols = {"url": pa.array([], pa.string()),
+                "_len": pa.array([], pa.int64())}
+        if lang_col:
+            cols["lang"] = pa.array([], pa.string())
+        return pa.table(cols)
+    ln = pc.fill_null(pc.utf8_length(t[text_col]), 0).cast(pa.int64())
+    cols = {"url": pc.cast(t["url"], pa.string()), "_len": ln}
+    if lang_col:
+        cols["lang"] = pc.cast(t[lang_col], pa.string())
+    return pa.table(cols)
+
+
+def _pair_agg(a: pa.Table, b: pa.Table, sign: int) -> pa.Table:
+    """Inner-join the two (url, _len[, lang]) sides and aggregate to
+    (lang, n_pairs, sum_len) with every count/sum multiplied by ``sign`` —
+    +1 partials build the view, -1 partials retract old contributions."""
+    if len(a) == 0 or len(b) == 0:
+        return _empty_join_stats()
+    j = a.join(b, keys="url", join_type="inner", right_suffix="_b")
+    if len(j) == 0:
+        return _empty_join_stats()
+    s = np.full(len(j), sign, dtype=np.int64)
+    tot = pc.add(j["_len"].combine_chunks().cast(pa.int64()),
+                 j["_len_b"].combine_chunks().cast(pa.int64())) \
+        .to_numpy(zero_copy_only=False)
+    tb = pa.table({"lang": j["lang"],
+                   "n_pairs": pa.array(s, pa.int64()),
+                   "sum_len": pa.array(np.asarray(tot, np.int64) * s)})
+    g = pa.TableGroupBy(tb, ["lang"]).aggregate(
+        [("n_pairs", "sum"), ("sum_len", "sum")])
+    return g.rename_columns(["lang", "n_pairs", "sum_len"])
+
+
+def _combine_join_stats(base: pa.Table, delta: pa.Table) -> pa.Table:
+    """base + delta for the join view (driver-side, group-cardinality
+    rows). Langs whose pair count reaches 0 drop out."""
+    both = pa.concat_tables([base, delta], promote_options="permissive")
+    g = pa.TableGroupBy(both, ["lang"]).aggregate(
+        [("n_pairs", "sum"), ("sum_len", "sum")])
+    g = g.rename_columns(["lang", "n_pairs", "sum_len"])
+    return g.filter(pc.not_equal(g["n_pairs"], 0)).sort_by("lang")
+
+
+def _check_copartitioned(lake_a: Lake, lake_b: Lake) -> None:
+    ma, mb = lake_a.meta(), lake_b.meta()
+    for field in ("partitioner", "num_partitions"):
+        if ma[field] != mb[field]:
+            raise ValueError(
+                f"join view requires matching {field}: "
+                f"{ma[field]!r} != {mb[field]!r}")
+    if lake_a.generation() != lake_b.generation():
+        raise ValueError(
+            "join view across different lake generations: "
+            f"{lake_a.generation()} != {lake_b.generation()}")
+
+
+def joined_group_stats(lake_a: Lake, lake_b: Lake,
+                       as_of_a: int | None = None,
+                       as_of_b: int | None = None,
+                       lang_col: str = "lang",
+                       text_a: str = "text",
+                       text_b: str = "text") -> pa.Table:
+    """Full recompute of the join view: per-lang (n_pairs, sum_len) over the
+    storage-partitioned inner join of two co-bucketed lakes. ZERO shuffle —
+    bucket i of A can only match bucket i of B, so the plan is one
+    co-located join+aggregate task per partition; the driver only ever sees
+    group-cardinality rows per bucket."""
+    import ray
+
+    _check_copartitioned(lake_a, lake_b)
+    root_a, root_b = lake_a.root, lake_b.root
+
+    @ray.remote(num_cpus=1)
+    def bucket_agg(p: int) -> pa.Table | None:
+        la, lb = Lake(root_a), Lake(root_b)
+        ta = la.resolve(p, as_of_a) if p in la.watermarks() else None
+        tb = lb.resolve(p, as_of_b) if p in lb.watermarks() else None
+        out = _pair_agg(_join_side(ta, text_a, lang_col),
+                        _join_side(tb, text_b, None), 1)
+        return out if len(out) else None
+
+    parts = sorted(set(lake_a.watermarks()) | set(lake_b.watermarks()))
+    partials = [t for t in ray.get([bucket_agg.remote(p) for p in parts])
+                if t is not None]
+    return _combine_join_stats(
+        pa.concat_tables(partials) if partials else _empty_join_stats(),
+        _empty_join_stats())
+
+
+def incremental_join_stats(lake_a: Lake, lake_b: Lake,
+                           since_a: int, since_b: int,
+                           base: pa.Table | None = None,
+                           lang_col: str = "lang",
+                           text_a: str = "text",
+                           text_b: str = "text") -> pa.Table:
+    """JOIN-shaped incremental view maintenance: keep the per-lang
+    (n_pairs, sum_len) aggregate over A ⋈ B current by consuming BOTH
+    lakes' pre-image change feeds instead of re-joining the lakes.
+
+    For the join view the delta of a changed key k is
+    ``join(new_a[k], new_b[k]) - join(old_a[k], old_b[k])`` — the classic
+    V' = V + ΔA⋈B + A⋈ΔB + ΔA⋈ΔB algebra folded into one signed pass over
+    the changed-key set K = keys(ΔA) ∪ keys(ΔB). Because both lakes bucket
+    by the same url partitioner, K's bucket on either side is the same
+    bucket, so each delta is ONE co-located task per TOUCHED partition
+    (untouched partitions are pruned by manifest watermarks — pure
+    metadata, no data read): resolve the two current bucket states once,
+    restrict to K, reconstruct each side's old rows as (current rows for
+    keys that side's feed didn't touch) + (that feed's
+    update_preimage/delete rows), then emit +new-join-agg and
+    -old-join-agg partials. Cost per refresh is O(touched buckets) reads
+    + O(|K|) join work; the driver combines group-cardinality rows only.
+
+    Equals joined_group_stats(lake_a, lake_b) by construction; the pytest
+    + DuckDB oracle (`cdc_incremental_join`) prove it."""
+    import ray
+
+    from ..stages.merge import CHANGE_COL
+
+    _check_copartitioned(lake_a, lake_b)
+    if base is None:
+        base = joined_group_stats(lake_a, lake_b, as_of_a=since_a,
+                                  as_of_b=since_b, lang_col=lang_col,
+                                  text_a=text_a, text_b=text_b)
+    root_a, root_b = lake_a.root, lake_b.root
+    wa, wb = lake_a.watermarks(), lake_b.watermarks()
+    touched = sorted({p for p, hi in wa.items() if hi > since_a}
+                     | {p for p, hi in wb.items() if hi > since_b})
+
+    @ray.remote(num_cpus=1)
+    def bucket_delta(p: int) -> pa.Table | None:
+        la, lb = Lake(root_a), Lake(root_b)
+        da = (la.partition_changes(p, since_a, pre_images=True)
+              if wa.get(p, since_a) > since_a and p in la.watermarks()
+              else None)
+        db = (lb.partition_changes(p, since_b, pre_images=True)
+              if wb.get(p, since_b) > since_b and p in lb.watermarks()
+              else None)
+
+        def feed_urls(d: pa.Table | None) -> pa.Array:
+            if d is None or len(d) == 0 or "url" not in d.column_names:
+                return pa.array([], pa.string())
+            return pc.unique(pc.cast(d["url"].combine_chunks(), pa.string()))
+
+        ua, ub = feed_urls(da), feed_urls(db)
+        keys = pc.unique(pa.concat_arrays([ua, ub]))
+        if len(keys) == 0:
+            return None
+
+        def restrict(t: pa.Table | None) -> pa.Table | None:
+            if t is None or len(t) == 0:
+                return t
+            return t.filter(pc.is_in(pc.cast(t["url"], pa.string()),
+                                     value_set=keys))
+
+        cur_a = restrict(la.resolve(p) if p in la.watermarks() else None)
+        cur_b = restrict(lb.resolve(p) if p in lb.watermarks() else None)
+
+        def old_rows(cur: pa.Table | None, d: pa.Table | None,
+                     urls: pa.Array, text_col: str,
+                     lcol: str | None) -> pa.Table:
+            """This side's pre-change rows for the changed-key set: current
+            rows for keys this side's feed didn't touch (unchanged here,
+            changed on the OTHER side) + the feed's own pre-images."""
+            parts = []
+            if cur is not None and len(cur):
+                untouched = cur.filter(pc.invert(pc.is_in(
+                    pc.cast(cur["url"], pa.string()), value_set=urls)))
+                parts.append(_join_side(untouched, text_col, lcol))
+            if d is not None and len(d):
+                pre = d.filter(pc.is_in(
+                    d[CHANGE_COL],
+                    value_set=pa.array(["update_preimage", "delete"],
+                                       pa.string())))
+                parts.append(_join_side(pre, text_col, lcol))
+            if not parts:
+                return _join_side(None, text_col, lcol)
+            return pa.concat_tables(parts, promote_options="permissive")
+
+        new_a = _join_side(cur_a, text_a, lang_col)
+        new_b = _join_side(cur_b, text_b, None)
+        old_a = old_rows(cur_a, da, ua, text_a, lang_col)
+        old_b = old_rows(cur_b, db, ub, text_b, None)
+        out = pa.concat_tables([_pair_agg(new_a, new_b, 1),
+                                _pair_agg(old_a, old_b, -1)])
+        return out if len(out) else None
+
+    deltas = [t for t in ray.get([bucket_delta.remote(p) for p in touched])
+              if t is not None]
+    delta = (pa.concat_tables(deltas) if deltas else _empty_join_stats())
+    return _combine_join_stats(base, delta)

@@ -197,6 +197,61 @@ def _history_lake(sf_dir: str) -> tuple[str, int]:
     return lake_dir, thr
 
 
+def _history_lake_b(sf_dir: str) -> tuple[str, int]:
+    """Two-epoch replay of the METRICS WAL (same url key space, payload =
+    value cents as text) into a history=True lake co-bucketed with the
+    flagship lake — the join-view fixture's B side. Cached per sf_dir."""
+    wal = _events_as_wal_metrics(sf_dir)
+    out = _scratch(sf_dir, "wal2ep-b")
+    e1, e2 = os.path.join(out, "epoch1"), os.path.join(out, "epoch2")
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(e1)
+        os.makedirs(e2)
+        files = sorted(f for f in os.listdir(wal) if f.endswith(".parquet"))
+        thr = max(
+            pq.read_table(os.path.join(wal, f), columns=["txn_id"])["txn_id"]
+            .combine_chunks().to_numpy().max() for f in files) // 2
+        for f in files:
+            t = pq.read_table(os.path.join(wal, f))
+            lo = t.filter(pc.less_equal(t["txn_id"], thr))
+            hi = t.filter(pc.greater(t["txn_id"], thr))
+            if len(lo):
+                pq.write_table(lo, os.path.join(e1, f))
+            if len(hi):
+                pq.write_table(hi, os.path.join(e2, f))
+        with open(done, "w") as fh:
+            fh.write(str(int(thr)))
+    thr = int(open(done).read())
+    lake_dir = _scratch(sf_dir, "lake-hist-b")
+    ldone = os.path.join(lake_dir, "_qdone")
+    if not os.path.exists(ldone):
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        cfg = ReplayConfig(num_partitions=16, history=True)
+        replay(e1, lake_dir, cfg=cfg)
+        replay(e2, lake_dir, cfg=cfg)
+        open(ldone, "w").close()
+    return lake_dir, thr
+
+
+def cdc_incremental_join(sf_dir: str) -> pa.Table:
+    """JOIN-shaped incremental view (pipelines.derive.incremental_join_stats):
+    the per-lang (n_pairs, sum_len) aggregate over the storage-partitioned
+    inner join of two co-bucketed lakes is computed ONCE at the epoch-1
+    snapshots, then maintained by consuming BOTH lakes' pre-image change
+    feeds — per refresh only changed keys' join contributions adjust, one
+    co-located task per touched bucket, untouched buckets pruned by
+    manifest watermarks. The oracle re-joins the two FINAL LWW states from
+    scratch: equality proves incremental == full for the join view."""
+    from .derive import incremental_join_stats
+
+    lake_a_dir, thr_a = _history_lake(sf_dir)
+    lake_b_dir, thr_b = _history_lake_b(sf_dir)
+    return incremental_join_stats(Lake(lake_a_dir), Lake(lake_b_dir),
+                                  since_a=thr_a, since_b=thr_b)
+
+
 def cdc_time_travel(sf_dir: str) -> pa.Table:
     """Snapshot-as-of read (time travel): replay the WAL in two epochs into
     a history lake, then read the lake as of the epoch-1 txn ceiling — the
