@@ -45,7 +45,14 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # --- CDC engine (flagship; full replay → lake → final state) ---
+        # Gate-window rotation (round 5): the driver's correctness gate
+        # evaluates the FIRST 50 entries only, so ordering is attestation
+        # policy, not style. Slots 1-8: flagship CDC rows (every round).
+        # Slots 9-12: this round's new/fixed rows (join view, newly
+        # SQL-oracled packers, the repaired incremental MinHash index).
+        # Slots 13-50: the 38 SQL-oracled queries that had never been
+        # driver-checked before round 5 (they were positions 51+ in r04).
+        # --- CDC engine (flagship; full replay -> lake -> final state) ---
         "cdc_lww_replay": R.cdc_lww_replay,
         "cdc_lww_salted": R.cdc_lww_salted,
         "cdc_incremental": R.cdc_incremental,
@@ -53,56 +60,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_change_feed": R.cdc_change_feed,
         "cdc_incremental_agg": R.cdc_incremental_agg,
         "cdc_incremental_window": R.cdc_incremental_window,
-        "cdc_incremental_join": R.cdc_incremental_join,
         "lake_predicate_scan": R.lake_predicate_scan,
-        # --- dx_* transform surface ---
-        "dx_substr": R.dx_substr_part,
-        "dx_pad": R.dx_pad_nation,
-        "dx_replace": R.dx_replace_customer,
-        "dx_filter_like": R.dx_filter_like_docs,
-        "dx_filter_cmp": R.dx_filter_cmp_lineitem,
-        "dx_digest": R.dx_digest_docs,
-        "transform_chain": R.transform_chain_docs,
-        # --- framework analogs ---
-        "const_and_prune": R.const_and_prune,
-        "column_cast": R.column_cast,
-        "error_split_valid": R.error_split_valid,
-        "range_split": R.range_split_orders,
-        "rdbms_roundtrip": R.rdbms_roundtrip,
-        "cli_job_roundtrip": R.cli_job_roundtrip,
-        # --- aggregates / joins / windows ---
-        "agg_pricing_summary": R.agg_pricing_summary,
-        "broadcast_join_segments": R.broadcast_join_segments,
-        "hash_join_order_rows": R.hash_join_order_rows,
-        "window_tumbling": R.window_tumbling,
-        "session_windows": R.session_windows,
-        "topk_per_group": R.topk_per_group,
-        "distinct_langs": R.distinct_langs,
-        "anti_join_inactive_customers": R.anti_join_inactive_customers,
-        "anti_join_bloom": R.anti_join_bloom,
-        "union_all_keys": R.union_all_keys,
-        "global_topk_orders": R.global_topk_orders,
-        "asof_prev_event": R.asof_prev_event,
-        "interval_join_windows": R.interval_join_windows,
-        "interval_join_windows_tb": R.interval_join_windows_tb,
-        # --- training-data ops (SQL-checkable) ---
-        "dedup_exact_groups": R.dedup_exact_groups,
-        "token_stats": R.token_stats,
-        "quality_stats": R.quality_stats,
-        "pii_redact": R.pii_redact,
+        # --- round-5 new / repaired rows ---
+        "cdc_incremental_join": R.cdc_incremental_join,
         "repetition_stats": R.repetition_stats,
         "pack_bins": R.pack_bins,
-        "knn_cosine_top5": R.knn_cosine_top5,
-        "embedding_dup_ids": R.embedding_dup_ids,
-        "ngram_jaccard_dups": R.ngram_jaccard_dups,
-        "langid_pred": R.langid_pred,
-        # --- sketches / sampling / quantiles ---
-        "quantiles_price_by_priority": R.quantiles_price_by_priority,
-        "sample_hash_events": R.sample_hash_events,
-        "stratified_sample_events": R.stratified_sample_events,
-        "hll_distinct_users": R.hll_distinct_users,
-        # --- ELT surface: JSON, flat_map, collect, outer joins ---
-        "json_extract_props": R.json_extract_props,
+        "minhash_dedup_incremental": R.minhash_dedup_incremental,
+        # --- SQL-oracled, first driver check this round ---
         "doc_term_rows": R.doc_term_rows,
         "collect_langs_by_source": R.collect_langs_by_source,
         "left_join_customer_orders": R.left_join_customer_orders,
@@ -110,11 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumsum_user_value": R.cumsum_user_value,
         "lag_prev_value": R.lag_prev_value,
         "agg_rollup_flags": R.agg_rollup_flags,
-        "cms_user_counts": R.cms_user_counts,
         "mode_event_type_per_user": R.mode_event_type_per_user,
         "ntile_orders_price": R.ntile_orders_price,
         "dup_clusters": R.dup_clusters,
-        "hll_distinct_users_by_type": R.hll_distinct_users_by_type,
         "hopping_window": R.hopping_window,
         "pivot_event_counts": R.pivot_event_counts,
         "stats_moments": R.stats_moments,
@@ -143,19 +105,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_quality": R.entropy_quality,
         "copartitioned_join_lakes": R.copartitioned_join_lakes,
         "html_text_extract": R.html_text_extract,
-        # --- non-SQL-expressible (rows-only checks) ---
-        "minhash_dedup": R.minhash_dedup,
-        "minhash_dedup_incremental": R.minhash_dedup_incremental,
-        "simhash_signatures": R.simhash_signatures,
-        "doc_fingerprints": R.doc_fingerprints,
-        "knn_lsh_top5": R.knn_lsh_top5,
-        "knn_ivf_top5": R.knn_ivf_top5,
-        "multimodal_features": R.multimodal_features,
+        # --- below the 50-query gate window ---
+        # py-model-oracled (the driver records rows-only for these, the
+        # weakest check it can give them; tools/check_correctness.py
+        # value-checks them against reference_models every sweep)
+        "cms_user_counts": R.cms_user_counts,
+        "hll_distinct_users_by_type": R.hll_distinct_users_by_type,
         "image_resize": R.image_resize,
         "pagerank_users": R.pagerank_user_graph,
         "kmeans_clusters": R.kmeans_clusters,
         "video_frame_sample": R.video_frame_sample,
         "bfs_hops_from_hub": R.bfs_hops_from_hub,
+        # previously driver-green (CORRECTNESS_r01-r04 hash rows exist)
+        "dx_substr": R.dx_substr_part,
+        "dx_pad": R.dx_pad_nation,
+        "dx_replace": R.dx_replace_customer,
+        "dx_filter_like": R.dx_filter_like_docs,
+        "dx_filter_cmp": R.dx_filter_cmp_lineitem,
+        "dx_digest": R.dx_digest_docs,
+        "transform_chain": R.transform_chain_docs,
+        "const_and_prune": R.const_and_prune,
+        "column_cast": R.column_cast,
+        "error_split_valid": R.error_split_valid,
+        "range_split": R.range_split_orders,
+        "rdbms_roundtrip": R.rdbms_roundtrip,
+        "cli_job_roundtrip": R.cli_job_roundtrip,
+        "agg_pricing_summary": R.agg_pricing_summary,
+        "broadcast_join_segments": R.broadcast_join_segments,
+        "hash_join_order_rows": R.hash_join_order_rows,
+        "window_tumbling": R.window_tumbling,
+        "session_windows": R.session_windows,
+        "topk_per_group": R.topk_per_group,
+        "distinct_langs": R.distinct_langs,
+        "anti_join_inactive_customers": R.anti_join_inactive_customers,
+        "anti_join_bloom": R.anti_join_bloom,
+        "union_all_keys": R.union_all_keys,
+        "global_topk_orders": R.global_topk_orders,
+        "asof_prev_event": R.asof_prev_event,
+        "interval_join_windows": R.interval_join_windows,
+        "interval_join_windows_tb": R.interval_join_windows_tb,
+        "dedup_exact_groups": R.dedup_exact_groups,
+        "token_stats": R.token_stats,
+        "quality_stats": R.quality_stats,
+        "pii_redact": R.pii_redact,
+        "knn_cosine_top5": R.knn_cosine_top5,
+        "embedding_dup_ids": R.embedding_dup_ids,
+        "ngram_jaccard_dups": R.ngram_jaccard_dups,
+        "langid_pred": R.langid_pred,
+        "quantiles_price_by_priority": R.quantiles_price_by_priority,
+        "sample_hash_events": R.sample_hash_events,
+        "stratified_sample_events": R.stratified_sample_events,
+        "hll_distinct_users": R.hll_distinct_users,
+        "json_extract_props": R.json_extract_props,
+        # previously driver-checked rows-only (py-model oracles)
+        "minhash_dedup": R.minhash_dedup,
+        "simhash_signatures": R.simhash_signatures,
+        "doc_fingerprints": R.doc_fingerprints,
+        "knn_lsh_top5": R.knn_lsh_top5,
+        "knn_ivf_top5": R.knn_ivf_top5,
+        "multimodal_features": R.multimodal_features,
     }
 
 
@@ -292,6 +300,76 @@ _N_TOKENS = (
     "CASE WHEN trim(text) = '' THEN 0 "
     "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
 )
+
+# Gopher-style repetition signals (functions/text.add_repetition_signals)
+# as pure SQL: duplicate-line fractions from per-(doc, line) counts, the
+# top word-2-gram by (count, (a, b)) with the pair tie-break encoded as
+# lexicographic order of a || chr(1) || b (tokens never contain \x01).
+_REPETITION_SQL = """
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+ln AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM base),
+lc AS (SELECT doc_id, line, CAST(count(*) AS BIGINT) AS c FROM ln
+       WHERE regexp_matches(line, '\\S') GROUP BY 1, 2),
+ls AS (SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
+       sum(length(line) * (c - 1)) AS dup_chars,
+       sum(length(line) * c) AS tot_chars FROM lc GROUP BY 1),
+w AS (SELECT doc_id,
+      list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '') AS w
+      FROM base),
+gr AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       i -> w[i] || chr(1) || w[i+1])) AS g FROM w WHERE len(w) >= 2),
+gc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM gr GROUP BY 1, 2),
+tp AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c, row_number() OVER
+       (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn FROM gc)
+       WHERE rn = 1),
+tl AS (SELECT doc_id,
+       list_aggregate(list_transform(w, x -> length(x)), 'sum') AS total
+       FROM w)
+SELECT b.doc_id,
+  coalesce(CAST(ls.dup_lines AS DOUBLE) / ls.n_lines, 0.0) AS dup_line_frac,
+  coalesce(CASE WHEN ls.tot_chars > 0
+           THEN CAST(ls.dup_chars AS DOUBLE) / ls.tot_chars ELSE 0.0 END,
+           0.0) AS dup_line_char_frac,
+  coalesce(least(CAST((length(tp.g) - 1) * tp.c AS DOUBLE) / tl.total, 1.0),
+           0.0) AS top2gram_char_frac
+FROM base b LEFT JOIN ls USING (doc_id) LEFT JOIN tp USING (doc_id)
+LEFT JOIN tl USING (doc_id)
+"""
+
+
+def _pack_bins_sql() -> str:
+    """Greedy next-fit packing (functions/text.pack_sequences) replayed in
+    SQL: the bucket hash is (doc_id * 0x9E3779B97F4A7C15 mod 2^64) >> 33
+    mod 16 in HUGEINT limb arithmetic, and each bucket's sequential
+    next-fit state machine ((k, used) -> bin) advances one ordered doc per
+    recursive-CTE iteration."""
+    h = _SK._mulmod_sql("CAST(doc_id AS HUGEINT)", 0x9E3779B97F4A7C15)
+    bucket = f"CAST(({h}) // 8589934592 % 16 AS BIGINT)"
+    moved = "s.un > 0 AND s.un + o.n_tokens > 256"
+    u1 = f"(CASE WHEN {moved} THEN 0 ELSE s.un END) + o.n_tokens"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST({_N_TOKENS} AS BIGINT) AS n_tokens FROM documents),
+sized AS (SELECT doc_id, n_tokens, {bucket} AS bucket FROM base),
+ord AS (SELECT doc_id, n_tokens, bucket, CAST(row_number() OVER
+        (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) AS rn FROM sized),
+st(bucket, rn, doc_id, n_tokens, bin, kn, un) AS (
+  SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
+         CAST(CASE WHEN n_tokens >= 256 THEN 1 ELSE 0 END AS BIGINT) AS kn,
+         CAST(CASE WHEN n_tokens >= 256 THEN 0 ELSE n_tokens END
+              AS BIGINT) AS un
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+         s.kn + CASE WHEN {moved} THEN 1 ELSE 0 END,
+         s.kn + CASE WHEN {moved} THEN 1 ELSE 0 END
+              + CASE WHEN {u1} >= 256 THEN 1 ELSE 0 END,
+         CASE WHEN {u1} >= 256 THEN 0 ELSE {u1} END
+  FROM st s JOIN ord o ON o.bucket = s.bucket AND o.rn = s.rn + 1)
+SELECT doc_id, n_tokens,
+       CAST(bucket * 4294967296 + bin AS BIGINT) AS bin_id FROM st
+"""
 
 
 def _langid_sql() -> str:
@@ -511,6 +589,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM s QUALIFY rank <= 5"
         ),
         "langid_pred": _langid_sql(),
+        "repetition_stats": _REPETITION_SQL,
+        "pack_bins": _pack_bins_sql(),
         "embedding_dup_ids": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
