@@ -417,8 +417,9 @@ def reference_models() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top5": M.knn_ivf_top5,
         "multimodal_features": M.multimodal_features,
         "image_resize": M.image_resize,
-        "repetition_stats": M.repetition_stats,
-        "pack_bins": M.pack_bins,
+        # repetition_stats / pack_bins graduated to SQL oracles (round 5);
+        # their py-models stay in oracle_models.py as a second witness,
+        # exercised by tests/test_entry.py::test_sql_graduates_match_pymodel
         "hll_distinct_users": M.hll_distinct_users,
         "cms_user_counts": M.cms_user_counts,
         "hll_distinct_users_by_type": M.hll_distinct_users_by_type,

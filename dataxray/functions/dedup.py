@@ -228,9 +228,11 @@ def multi_member_buckets(ds, key_col: str, join_partitions: int = 8,
         return g.rename_columns([key_col, "_bn"])
 
     # the input is consumed TWICE (count pass + membership filter) — persist
-    # its blocks so the signature computation upstream doesn't run twice;
-    # bucket rows are narrow (key + id), so blocks spill rather than recompute
-    ds = ds.materialize()
+    # it so the signature computation upstream doesn't run twice; bucket
+    # rows are narrow (key + id). Above DATAXRAY_STAGE_BUDGET_BYTES the
+    # persist is a staged parquet write instead of pinned plasma blocks
+    from ..stages.persist import persist_multi_pass
+    ds = persist_multi_pass(ds, label="buckets")
     multi = tree_aggregate(ds, [key_col], partial, {"_bn": "sum"}) \
         .filter(expr="_bn >= 2")
     keys_tbl = pa.concat_tables(ray.get(multi.to_arrow_refs()))
@@ -496,8 +498,10 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.7, shingle_k: int = 3,
     membership of every common shingle) or "hash" (no counting pass)."""
     if order not in ("frequency", "hash"):
         raise ValueError(f"unknown prefix order {order!r}")
-    # materialize: consumed up to 3× (df pass, prefix explode, verify filter)
-    ds = ds.materialize()
+    # persist: consumed up to 3× (df pass, prefix explode, verify filter);
+    # staged to parquet instead of plasma above DATAXRAY_STAGE_BUDGET_BYTES
+    from ..stages.persist import persist_multi_pass
+    ds = persist_multi_pass(ds, label="jaccard-corpus")
     df_ref = shared_shingle_df(ds, shingle_k) if order == "frequency" else None
     pref = ds.map_batches(PrefixExplode(threshold, shingle_k, id_col, df_ref),
                           batch_format="pyarrow", batch_size=1024)
@@ -1004,7 +1008,11 @@ def containment_pairs(ds, threshold: float = 0.8, shingle_k: int = 3,
     join."""
     import ray
 
-    ds = ds.materialize()
+    from ..stages.persist import persist_multi_pass
+
+    # consumed 3× (df pass, containment explode, verify); staged to parquet
+    # instead of plasma above DATAXRAY_STAGE_BUDGET_BYTES (100-TB path)
+    ds = persist_multi_pass(ds, label="containment-corpus")
     df_ref = shared_shingle_df(ds, shingle_k)
 
     both = ds.map_batches(

@@ -161,7 +161,12 @@ class MinHashIndex:
                 "bucket", _bucket_of(t["band_key"].combine_chunks(),
                                      num_buckets)),
             batch_format="pyarrow",
-        ).materialize()  # consumed 3×: probe keys, pair expansion, index write
+        )
+        # consumed 3×: probe keys, pair expansion, index write; staged to
+        # parquet instead of plasma above DATAXRAY_STAGE_BUDGET_BYTES
+        from ..stages.persist import persist_multi_pass
+
+        new_bands = persist_multi_pass(new_bands, label="new-bands")
 
         new_tbl = pa.concat_tables(ray.get(new_bands.to_arrow_refs()))
         if len(new_tbl) == 0:  # empty epoch: commit the label, no pairs

@@ -77,3 +77,28 @@ def test_entry_contract_key_consistency():
     assert not (o & m), o & m  # exactly one checker per query
     unchecked = q - o - m
     assert not unchecked, unchecked
+
+
+def test_sql_graduates_match_pymodel(entrymod):
+    """repetition_stats / pack_bins graduated from py-model to SQL oracles
+    in round 5; the py-models stay as an independent second witness — the
+    Ray result must match them value-for-value."""
+    import numpy as np
+
+    from dataxray import oracle_models as M
+
+    for name in ["repetition_stats", "pack_bins"]:
+        got = entrymod.queries()[name](SF)
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        want = getattr(M, name)(SF)
+        want = want.to_pandas() if not isinstance(want, pd.DataFrame) else want
+        cols = sorted(got.columns)
+        assert sorted(want.columns) == cols
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(g) == len(w)
+        for c in cols:
+            if np.issubdtype(g[c].dtype, np.floating):
+                assert np.allclose(g[c], w[c], rtol=0, atol=1e-9), (name, c)
+            else:
+                assert g[c].astype(str).equals(w[c].astype(str)), (name, c)
