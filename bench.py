@@ -50,6 +50,7 @@ QUERY_NAMES = [
     "url_host_stats", "pagerank_users", "kmeans_clusters",
     "entropy_quality", "containment_dups", "html_text_extract",
     "cdc_incremental_window", "video_frame_sample", "bfs_hops_from_hub",
+    "cdc_incremental_join", "pack_bins",
 ]
 
 
@@ -360,7 +361,15 @@ def scaling_weak() -> None:
             )
             cmd = [sys.executable, "-c", prog]
             if pin:
-                cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+                # BENCH_PIN_MAP_<n> overrides the default 0..n-1 core list —
+                # the round-5 sensitivity knob (e.g. BENCH_PIN_MAP_8=24-31
+                # tests whether the 8-leg's placement, not its size, moves
+                # the ratio). This box is a single NUMA node (lscpu: "NUMA
+                # node(s): 1"), so NUMA interleaving is not a variable here;
+                # core position is the only placement axis left.
+                cpu_list = os.environ.get(f"BENCH_PIN_MAP_{ncpu}",
+                                          f"0-{ncpu - 1}")
+                cmd = ["taskset", "-c", cpu_list] + cmd
             s0 = _cpu_times()
             out = subprocess.run(cmd, capture_output=True,
                                  text=True, check=True,

@@ -495,3 +495,79 @@ def incremental_join_stats(lake_a: Lake, lake_b: Lake,
               if t is not None]
     delta = (pa.concat_tables(deltas) if deltas else _empty_join_stats())
     return _combine_join_stats(base, delta)
+
+
+class MaterializedJoinStats:
+    """A PERSISTENT incrementally-maintained JOIN view: per-lang
+    (n_pairs, sum_len) over A ⋈ B, stored beside lake A and refreshed from
+    BOTH lakes' pre-image change feeds.
+
+    Layout (over lake A's filesystem backend):
+        <lake_a>/_views/<name>/state.parquet   the aggregate table
+        <lake_a>/_views/<name>/_meta.json      {as_of_a, as_of_b,
+                                                generation_a, generation_b}
+
+    ``refresh()`` applies only ``changes(since=stored as_of)`` on each
+    side — O(changed keys) per epoch — and commits the new state with a
+    single meta PUT (manifest pattern: a crash mid-refresh leaves the old
+    consistent view; re-running refresh is idempotent because the as_of
+    pair is the label). A partition evolution on EITHER lake bumps that
+    lake's generation; the view detects it and REBUILDS (co-bucketing
+    changed meaning under the diff) — the same self-healing contract as
+    MaterializedGroupStats and the sidecar indexes.
+    """
+
+    def __init__(self, lake_a: Lake, lake_b: Lake,
+                 name: str = "join_stats", lang_col: str = "lang",
+                 text_a: str = "text", text_b: str = "text"):
+        self.lake_a, self.lake_b = lake_a, lake_b
+        self.name = name
+        self.lang_col, self.text_a, self.text_b = lang_col, text_a, text_b
+        self.dir = lake_a._p("_views", name)
+        self.meta_path = os.path.join(self.dir, "_meta.json")
+        self.state_path = os.path.join(self.dir, "state.parquet")
+
+    def exists(self) -> bool:
+        return self.lake_a.fs.exists(self.meta_path)
+
+    def meta(self) -> dict:
+        return self.lake_a.fs.read_json(self.meta_path)
+
+    def read(self) -> pa.Table:
+        return self.lake_a.fs.read_parquet(self.state_path)
+
+    def _commit(self, table: pa.Table, as_of_a: int, as_of_b: int) -> None:
+        self.lake_a.fs.makedirs(self.dir)
+        self.lake_a.fs.write_parquet(table, self.state_path,
+                                     compression="zstd")
+        self.lake_a.fs.put_json(self.meta_path, {
+            "as_of_a": as_of_a, "as_of_b": as_of_b,
+            "generation_a": self.lake_a.generation(),
+            "generation_b": self.lake_b.generation(),
+            "lang_col": self.lang_col,
+            "text_a": self.text_a, "text_b": self.text_b})
+
+    def refresh(self) -> pa.Table:
+        """Bring the view to both lakes' current committed snapshots."""
+        _check_copartitioned(self.lake_a, self.lake_b)
+        cur_a = max(self.lake_a.watermarks().values(), default=-1)
+        cur_b = max(self.lake_b.watermarks().values(), default=-1)
+        stale_gen = (self.exists() and (
+            self.meta().get("generation_a") != self.lake_a.generation()
+            or self.meta().get("generation_b") != self.lake_b.generation()))
+        if not self.exists() or stale_gen:
+            full = joined_group_stats(self.lake_a, self.lake_b,
+                                      lang_col=self.lang_col,
+                                      text_a=self.text_a,
+                                      text_b=self.text_b)
+            self._commit(full, cur_a, cur_b)
+            return full
+        m = self.meta()
+        if m["as_of_a"] >= cur_a and m["as_of_b"] >= cur_b:
+            return self.read()  # already current (idempotent replay)
+        out = incremental_join_stats(
+            self.lake_a, self.lake_b,
+            since_a=m["as_of_a"], since_b=m["as_of_b"], base=self.read(),
+            lang_col=self.lang_col, text_a=self.text_a, text_b=self.text_b)
+        self._commit(out, cur_a, cur_b)
+        return out

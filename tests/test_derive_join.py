@@ -106,3 +106,61 @@ def test_join_view_refuses_mismatched_bucketing(tmp_path, scheme):
         incremental_join_stats(la, lb, since_a=thr_a, since_b=thr_b)
     with pytest.raises(ValueError, match="num_partitions"):
         joined_group_stats(la, lb)
+
+
+def test_materialized_join_view_across_epochs(tmp_path, scheme):
+    """MaterializedJoinStats: refresh() after each epoch == full re-join;
+    replayed refresh is a no-op; a partition evolution on the lakes
+    triggers a rebuild (generation mismatch) and stays correct."""
+    from dataxray.pipelines.derive import MaterializedJoinStats
+
+    # build both lakes epoch-by-epoch so the view really refreshes from
+    # the change feeds, not from a one-shot build
+    lakes = []
+    for name, seed in (("va", 11), ("vb", 12)):
+        cfg = GenConfig(n_urls=150, n_events=1_500, n_shards=4,
+                        html_mean=32, zipf_s=1.2, seed=seed)
+        d = str(tmp_path / f"data-{name}")
+        write_dataset(d, cfg, parallel=False)
+        lakes.append((name, d,
+                      sorted(os.listdir(os.path.join(d, "events")))))
+    rcfg = ReplayConfig(num_partitions=8, history=True)
+
+    def apply(name, d, files, upto):
+        epochs = str(tmp_path / f"ve-{name}")
+        os.makedirs(epochs, exist_ok=True)
+        for f in files[:upto]:
+            if not os.path.exists(os.path.join(epochs, f)):
+                shutil.copy(os.path.join(d, "events", f),
+                            os.path.join(epochs, f))
+        lake = f"{scheme}{tmp_path / ('vlake-' + name)}"
+        replay(epochs, lake,
+               pages_path=(os.path.join(d, "pages.parquet")
+                           if upto <= 2 else None), cfg=rcfg)
+        return Lake(lake)
+
+    # keep ONE Lake object pair for the view's lifetime (generation is
+    # cached per object; evolve below must invalidate the view's own pair)
+    la = apply(*lakes[0], upto=2)
+    lb = apply(*lakes[1], upto=2)
+    view = MaterializedJoinStats(la, lb, name="js")
+    v1 = view.refresh()  # first build = full at epoch 1
+    assert v1.to_pydict() == joined_group_stats(la, lb).to_pydict()
+
+    apply(*lakes[0], upto=4)
+    apply(*lakes[1], upto=4)
+    v2 = view.refresh()  # incremental from both feeds
+    full2 = joined_group_stats(la, lb)
+    assert v2.to_pydict() == full2.to_pydict()
+    assert view.meta()["as_of_a"] == max(la.watermarks().values())
+
+    v3 = view.refresh()  # idempotent replay: no-op read
+    assert v3.to_pydict() == full2.to_pydict()
+
+    # evolve BOTH lakes (a one-sided evolution is refused by the
+    # co-bucketing guard) -> generation mismatch -> rebuild
+    la.evolve_partitions(4)
+    lb.evolve_partitions(4)
+    v4 = view.refresh()
+    assert v4.to_pydict() == joined_group_stats(la, lb).to_pydict()
+    assert view.meta()["generation_a"] == la.generation()
