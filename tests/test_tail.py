@@ -247,3 +247,41 @@ def test_lag_metric_counts_down(tmp_path, ray_session):
     r2 = lag(events_dir, lake_dir)
     assert r2.txn_lag == 0
     assert r2.pending_files == 0 and r2.pending_rows_hint == 0
+
+
+def test_tail_maintains_join_view_per_epoch(tmp_path):
+    """maintain_views duck-types on .refresh(): a MaterializedJoinStats
+    (join of the tailed lake with a static co-bucketed lake) refreshed by
+    the tailer after every epoch ends current with the final join."""
+    from dataxray.pipelines.derive import (MaterializedJoinStats,
+                                           joined_group_stats)
+    from dataxray.pipelines.replay import replay
+
+    rcfg = ReplayConfig(num_partitions=4, history=True)
+    # static side B: fully replayed up front
+    src_b = str(tmp_path / "gen-b")
+    write_dataset(src_b, GenConfig(n_urls=200, n_events=2_000, n_shards=8,
+                                   html_mean=16, seed=9), parallel=False)
+    lake_b = str(tmp_path / "lake-b")
+    replay(os.path.join(src_b, "events"), lake_b,
+           pages_path=os.path.join(src_b, "pages.parquet"), cfg=rcfg)
+
+    # tailed side A
+    src = str(tmp_path / "gen-a")
+    write_dataset(src, CFG, parallel=False)
+    wal = str(tmp_path / "wal-a")
+    os.makedirs(wal)
+    for f in sorted(os.listdir(os.path.join(src, "events"))):
+        shutil.copy(os.path.join(src, "events", f), wal)
+    lake_a = str(tmp_path / "lake-a")
+    view = MaterializedJoinStats(Lake(lake_a), Lake(lake_b), name="jv")
+    rep = tail_replay(wal, lake_a,
+                      pages_path=os.path.join(src, "pages.parquet"),
+                      cfg=rcfg, poll_sec=0.0, idle_polls=1,
+                      maintain_views=[view])
+    assert rep.epochs_applied >= 1
+    got = view.read()
+    want = joined_group_stats(Lake(lake_a), Lake(lake_b))
+    assert got.to_pydict() == want.to_pydict()
+    assert len(got) > 0
+    assert view.meta()["as_of_a"] == max(Lake(lake_a).watermarks().values())
