@@ -130,6 +130,18 @@ def main() -> int:
         out["pagerank_equal"] = True
         out["pagerank_rows"] = len(g)
 
+        # one exchange-heavy dedup op (shuffle + broadcast df + verify)
+        t0 = time.perf_counter()
+        mh = R.minhash_dedup("/root/testdata/sf0.001")
+        mh_pairs = sorted((r["id_a"], r["id_b"]) for r in mh.take_all())
+        out["minhash_sec"] = round(time.perf_counter() - t0, 3)
+        pm2 = M.minhash_dedup("/root/testdata/sf0.001")
+        pm2 = pm2.to_pandas() if not isinstance(pm2, pd.DataFrame) else pm2
+        want_pairs = sorted(zip(pm2["id_a"].tolist(), pm2["id_b"].tolist()))
+        assert mh_pairs == want_pairs, "minhash multi-node != py-model"
+        out["minhash_equal"] = True
+        out["minhash_pairs"] = len(mh_pairs)
+
         # node-spread evidence: which nodes executed engine tasks
         task_nodes: set[str] = set()
         try:
