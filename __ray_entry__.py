@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copartitioned_join_lakes": R.copartitioned_join_lakes,
         "html_text_extract": R.html_text_extract,
         # --- below the 50-query gate window ---
+        # SQL-oracled round-5 addition (first in line if the window widens)
+        "warc_text_extract": R.warc_text_extract,
         # py-model-oracled (the driver records rows-only for these, the
         # weakest check it can give them; tools/check_correctness.py
         # value-checks them against reference_models every sweep)
@@ -958,6 +960,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rn = 1 AND event_type <> 'error'"
         ),
         "html_text_extract": (
+            "SELECT doc_id, trim(regexp_replace("
+            "'t ' || coalesce(text, '') || ' footer', '\\s+', ' ', 'g')) "
+            "AS extracted FROM documents"
+        ),
+        # same byte-inverting oracle: the WARC transport must be lossless
+        "warc_text_extract": (
             "SELECT doc_id, trim(regexp_replace("
             "'t ' || coalesce(text, '') || ' footer', '\\s+', ' ', 'g')) "
             "AS extracted FROM documents"

@@ -271,8 +271,34 @@ def _reader_lake(param: dict, channels: int):
     return ds, lake.num_partitions()
 
 
+def _reader_warc(param: dict, channels: int):
+    """WARC / .warc.gz crawl archives (sources/warc.py) → (url, warc_ts,
+    html, warc_type) rows; `extractText: true` adds a `text` column via the
+    vectorized HTML extractor — the Common-Crawl-native entry into the
+    same transform/writer chain every other reader feeds."""
+    files, fs = _resolve_reader_paths(param)
+    from .sources.warc import read_warc
+
+    keep = tuple(param.get("warcTypes", ["response"]))
+    ds = read_warc(files, keep_types=keep, filesystem=fs)
+    if param.get("extractText"):
+        import pyarrow.compute as _pc
+
+        from .functions.text import html_to_text
+
+        def extract(t):
+            html_str = _pc.cast(t["html"], pa.string())
+            return t.append_column("text", html_to_text(html_str))
+
+        ds = ds.map_batches(extract, batch_format="pyarrow")
+    if param.get("column"):
+        ds = ds.select_columns(param["column"])
+    return ds, len(files)
+
+
 READERS = {
     "lakereader": _reader_lake,
+    "warcreader": _reader_warc,
     "parquetreader": _reader_parquet,
     "csvreader": _reader_csv,
     "txtfilereader": _reader_csv,

@@ -2508,6 +2508,54 @@ def copartitioned_join_lakes(sf_dir: str):
         batch_format="pyarrow")
 
 
+def warc_text_extract(sf_dir: str):
+    """Common-Crawl-native ingestion: documents are wrapped into
+    deterministic full HTML pages, serialized as REAL .warc.gz crawl
+    shards (sources/warc.py, per-record gzip members), then read back via
+    the one-task-per-file WARC decoder and text-extracted — the same
+    byte-inverting oracle as html_text_extract proves the whole
+    WARC transport + HTTP-body + extraction chain is lossless. doc_id
+    rides in the record's WARC-Target-URI."""
+    import ray.data
+
+    from ..functions.text import html_to_text, wrap_html
+    from ..sources.warc import build_warc_bytes, read_warc
+
+    shard_dir = _scratch(sf_dir, "warc-docs")
+    done = os.path.join(shard_dir, "_done")
+    if not os.path.exists(done):
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        os.makedirs(shard_dir)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"]).sort_by("doc_id")
+        html = wrap_html(t["text"].combine_chunks())
+        rows = [{"url": f"https://docs.example/{d}",
+                 "warc_ts": "2026-08-18T00:00:00Z",
+                 "html": h.as_py().encode()}
+                for d, h in zip(t["doc_id"].to_pylist(), html)]
+        n_shards = 4
+        per = (len(rows) + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            part = rows[s * per:(s + 1) * per]
+            if part:
+                with open(os.path.join(shard_dir, f"docs-{s}.warc.gz"),
+                          "wb") as fh:
+                    fh.write(build_warc_bytes(part, gzip_members=True))
+        open(done, "w").close()
+    files = sorted(os.path.join(shard_dir, f) for f in os.listdir(shard_dir)
+                   if f.endswith(".warc.gz"))
+    ds = read_warc(files)
+
+    def extract(t: pa.Table) -> pa.Table:
+        doc_id = pc.cast(pc.replace_substring(
+            t["url"], "https://docs.example/", ""), pa.int64())
+        return pa.table({"doc_id": doc_id,
+                         "extracted": html_to_text(
+                             pc.cast(t["html"], pa.string()))})
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
 def video_frame_sample(sf_dir: str, num_samples: int = 4):
     """REAL video frame sampling over binary payloads: deterministic
     concatenated-P6 'videos' (24 frames) synthesized per doc (doc_id < 50
