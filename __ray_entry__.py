@@ -106,8 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copartitioned_join_lakes": R.copartitioned_join_lakes,
         "html_text_extract": R.html_text_extract,
         # --- below the 50-query gate window ---
-        # SQL-oracled round-5 addition (first in line if the window widens)
+        # SQL-oracled round-5 additions (first in line if the window widens)
         "warc_text_extract": R.warc_text_extract,
+        "cdc_warc_ingest": R.cdc_warc_ingest,
         # py-model-oracled (the driver records rows-only for these, the
         # weakest check it can give them; tools/check_correctness.py
         # value-checks them against reference_models every sweep)
@@ -969,6 +970,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, trim(regexp_replace("
             "'t ' || coalesce(text, '') || ' footer', '\\s+', ' ', 'g')) "
             "AS extracted FROM documents"
+        ),
+        # WARC crawl -> lake: later crawl of a url wins (txn = us fetch
+        # time = epoch(2020-01-01) + event_id seconds); text inverts the
+        # page wrapping byte-wise
+        "cdc_warc_ingest": (
+            "WITH ev AS (SELECT 'https://user' || CAST(user_id AS VARCHAR) "
+            "AS url, CAST(1577836800000000 + event_id * 1000000 AS BIGINT) "
+            "AS txn_id, event_id, props FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY url "
+            "ORDER BY event_id DESC) AS rn FROM ev) "
+            "SELECT url, txn_id, trim(regexp_replace("
+            "'t ' || coalesce(props, '') || ' footer', '\\s+', ' ', 'g')) "
+            "AS text FROM r WHERE rn = 1"
         ),
         "entropy_quality": (
             "WITH tok AS (SELECT doc_id, "

@@ -2556,6 +2556,57 @@ def warc_text_extract(sf_dir: str):
     return ds.map_batches(extract, batch_format="pyarrow")
 
 
+def cdc_warc_ingest(sf_dir: str) -> pa.Table:
+    """The north-star flow in its native format: a crawl dump of .warc.gz
+    shards (synthesized deterministically from events — every event is a
+    recrawl of its user's url at warc_ts = 2020-01-01 + event_id seconds,
+    page body = the wrapped props text) ingested via pipelines.ingest
+    .warc_ingest: WARC decode → HTML text extraction → staged WAL →
+    exactly-once url-hash LWW replay into the lake. The oracle recomputes
+    the final per-url state straight from events — the later crawl wins —
+    proving decode + extraction + merge end-to-end."""
+    from .ingest import warc_ingest
+    from ..functions.text import wrap_html
+    from ..sources.warc import build_warc_bytes
+
+    shard_dir = _scratch(sf_dir, "warc-crawl")
+    done = os.path.join(shard_dir, "_done")
+    if not os.path.exists(done):
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        os.makedirs(shard_dir)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_id", "user_id", "props"]) \
+            .sort_by("event_id")
+        html = wrap_html(t["props"].combine_chunks())
+        from datetime import datetime, timedelta
+
+        base = datetime(2020, 1, 1)
+        rows = [{"url": f"https://user{u}",
+                 "warc_ts": base + timedelta(seconds=int(e)),
+                 "html": h.as_py().encode()}
+                for e, u, h in zip(t["event_id"].to_pylist(),
+                                   t["user_id"].to_pylist(), html)]
+        n_shards = 8
+        per = (len(rows) + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            part = rows[s * per:(s + 1) * per]
+            if part:
+                with open(os.path.join(shard_dir, f"crawl-{s}.warc.gz"),
+                          "wb") as fh:
+                    fh.write(build_warc_bytes(part, gzip_members=True))
+        open(done, "w").close()
+    files = sorted(os.path.join(shard_dir, f) for f in os.listdir(shard_dir)
+                   if f.endswith(".warc.gz"))
+    lake_dir = _scratch(sf_dir, "lake-warc")
+    staging = _scratch(sf_dir, "warc-staging")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    warc_ingest(files, lake_dir, staging,
+                cfg=ReplayConfig(num_partitions=16))
+    out = Lake(lake_dir).read_all().select(["url", "txn_id", "text"])
+    return out
+
+
 def video_frame_sample(sf_dir: str, num_samples: int = 4):
     """REAL video frame sampling over binary payloads: deterministic
     concatenated-P6 'videos' (24 frames) synthesized per doc (doc_id < 50

@@ -103,3 +103,39 @@ def test_warcreader_cli_job(tmp_path):
     assert sorted(t.column_names) == ["text", "url"]
     got = dict(zip(t["url"].to_pylist(), t["text"].to_pylist()))
     assert got[ROWS[0]["url"]] == "t0 page 0 & text"
+
+
+def test_warc_ingest_to_lake(tmp_path):
+    """warc_ingest: crawl shards → staged WAL → exactly-once LWW lake;
+    the later crawl of a url wins; re-ingesting is a no-op (watermarks)."""
+    from dataxray.pipelines.ingest import warc_ingest
+    from dataxray.pipelines.replay import ReplayConfig
+    from dataxray.state.manifest import Lake
+
+    # two crawls of the same 3 urls: recrawl updates pages 0 and 2
+    crawl1 = [{"url": f"https://s/{i}",
+               "warc_ts": datetime(2026, 1, 1, 0, 0, i),
+               "html": f"<html><body>v1 page {i}</body></html>".encode()}
+              for i in range(3)]
+    crawl2 = [{"url": f"https://s/{i}",
+               "warc_ts": datetime(2026, 1, 2, 0, 0, i),
+               "html": f"<html><body>v2 page {i}</body></html>".encode()}
+              for i in (0, 2)]
+    (tmp_path / "c1.warc.gz").write_bytes(build_warc_bytes(crawl1, True))
+    (tmp_path / "c2.warc").write_bytes(build_warc_bytes(crawl2))
+    lake = str(tmp_path / "lake")
+    files = [str(tmp_path / "c1.warc.gz"), str(tmp_path / "c2.warc")]
+    rep = warc_ingest(files, lake, str(tmp_path / "stage1"),
+                      cfg=ReplayConfig(num_partitions=4))
+    assert rep.write_succeed_records == 3
+    state = Lake(lake).read_all().sort_by("url")
+    texts = dict(zip(state["url"].to_pylist(), state["text"].to_pylist()))
+    assert texts == {"https://s/0": "v2 page 0", "https://s/1": "v1 page 1",
+                     "https://s/2": "v2 page 2"}
+
+    # idempotent re-ingest: fresh staging, same WARC input → watermarks
+    # skip everything, state unchanged
+    warc_ingest(files, lake, str(tmp_path / "stage2"),
+                cfg=ReplayConfig(num_partitions=4))
+    state2 = Lake(lake).read_all().sort_by("url")
+    assert state2.to_pydict() == state.to_pydict()
