@@ -585,7 +585,7 @@ def run_job(job: dict, dry_run: bool = False) -> dict:
             raise KeyError(f"unknown writer {wname!r}; have {sorted(WRITERS)}")
         t0 = time.perf_counter()
 
-        if wname == "lakewriter" and rname == "walreader":
+        if wname == "lakewriter" and rname in ("walreader", "warcreader"):
             # whole-pipeline CDC job: replay() owns pruning/shuffle/commit
             from .pipelines.replay import ReplayConfig, replay as run_replay
 
@@ -594,6 +594,17 @@ def run_job(job: dict, dry_run: bool = False) -> dict:
             if dry_run:
                 return {"reader": rname, "writer": wname,
                         "lake": wp["path"], "dryRun": True}
+            if rname == "warcreader":
+                # crawl-dump CDC: decode WARC shards to a staged WAL first
+                # (pipelines/ingest.py), then the standard replay below
+                from .pipelines.ingest import warc_to_wal
+
+                files, _fs = _resolve_reader_paths(rp)
+                staging = rp.get("stagingDir") or os.path.join(
+                    "/tmp", "dataxray_cli_warc", f"stage-{time.time_ns()}")
+                warc_to_wal(files, staging,
+                            extract_text=rp.get("extractText", True))
+                rp = dict(rp, path=staging)
             pages_path = wp.get("pagesPath", rp.get("pagesPath"))
             cdc_dirty = wp.get("dirtyDir")
             if cdc_dirty is None and (el.get("record") is not None

@@ -139,3 +139,27 @@ def test_warc_ingest_to_lake(tmp_path):
                 cfg=ReplayConfig(num_partitions=4))
     state2 = Lake(lake).read_all().sort_by("url")
     assert state2.to_pydict() == state.to_pydict()
+
+
+def test_warcreader_lakewriter_cli_job(tmp_path):
+    """Config-driven crawl→lake CDC job: warcreader × lakewriter composes
+    through the same whole-pipeline special case as walreader."""
+    from dataxray.cli import run_job
+    from dataxray.state.manifest import Lake
+
+    (tmp_path / "crawl").mkdir()
+    (tmp_path / "crawl" / "c.warc.gz").write_bytes(
+        build_warc_bytes(ROWS, gzip_members=True))
+    lake = str(tmp_path / "lake")
+    job = {"job": {"content": [{
+        "reader": {"name": "warcreader",
+                   "parameter": {"path": str(tmp_path / "crawl" / "*"),
+                                 "stagingDir": str(tmp_path / "stage")}},
+        "writer": {"name": "lakewriter",
+                   "parameter": {"path": lake, "numPartitions": 4}},
+    }]}}
+    run_job(job)
+    state = Lake(lake).read_all()
+    assert len(state) == len({r["url"] for r in ROWS})
+    texts = dict(zip(state["url"].to_pylist(), state["text"].to_pylist()))
+    assert texts[ROWS[1]["url"]] == "t1 page 1 & text"
